@@ -1,0 +1,76 @@
+"""Static configuration: dataset paths and feature flags.
+
+TPU-native replacement for the reference's class-attribute config
+(`helper_functions/config_paths.py:1-35`). Paths resolve from environment
+variables first, then an optional JSON file `pcfa_paths.json` in the working
+directory, then the built-in defaults — so CI and multi-host launches can
+configure data roots without editing source.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from pathlib import Path
+
+
+_PATHS_FILE = "pcfa_paths.json"
+
+# Dataset split names, mirroring config_paths.py:8-14.
+SPLITS = {
+    "sintel_train": "training",
+    "sintel_eval": "test",
+    "kitti_train": "training",
+    "kitti_eval": "testing",
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class PathsConfig:
+    """Dataset roots. Empty string means 'not configured'."""
+
+    sintel_mpi: str = ""
+    kitti15: str = ""
+
+    @staticmethod
+    def load(cwd: str | None = None) -> "PathsConfig":
+        cfg = {}
+        path = Path(cwd or os.getcwd()) / _PATHS_FILE
+        if path.is_file():
+            try:
+                cfg = json.loads(path.read_text())
+            except (OSError, json.JSONDecodeError):
+                cfg = {}
+        return PathsConfig(
+            sintel_mpi=os.environ.get("PCFA_SINTEL_ROOT", cfg.get("sintel_mpi", "")),
+            kitti15=os.environ.get("PCFA_KITTI15_ROOT", cfg.get("kitti15", "")),
+        )
+
+
+def splits(name: str) -> str:
+    return SPLITS[name]
+
+
+def paths(name: str) -> str:
+    return getattr(PathsConfig.load(), name)
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    """Device / precision configuration (replaces `Conf` in config_paths.py:24-35).
+
+    On TPU everything runs through XLA; there is no CPU/CUDA switch. The one
+    meaningful knob is matmul precision: attacks iterate 200+ network passes,
+    so the bf16 default would accumulate error beyond the 1%-AEE parity budget.
+    """
+
+    matmul_precision: str = "highest"  # 'default' | 'high' | 'highest'
+    debug_nans: bool = False
+
+    def apply(self) -> None:
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", self.matmul_precision)
+        if self.debug_nans:
+            jax.config.update("jax_debug_nans", True)
