@@ -1,0 +1,208 @@
+"""Functional L-BFGS with torch `optim.LBFGS` semantics, scan-compatible.
+
+PCFA drives a torch L-BFGS (`max_iter=10` per `.step(closure)`, 20 outer
+steps, default lr=1, **no line search**) through the frozen flow network
+(`attack_PCFA.py:97,114,175-192`). Unrolled, torch's step structure is a
+*uniform* sequence of {evaluate loss+grad at x; compute direction; maybe
+update x} iterations — each `.step()` ends with an un-evaluated update whose
+gradient is computed by the next `.step()`'s entry closure call. This module
+implements exactly that uniform iteration, so the whole 20×10 optimization
+compiles to ONE `lax.scan` on TPU with zero host synchronization.
+
+Semantics replicated from torch/optim/lbfgs.py (no-line-search path):
+  * first-ever iteration: d = −g, t = min(1, 1/‖g‖₁)·lr; afterwards t = lr
+  * history update with y = g − g_prev, s = t_prev·d_prev, pushed only when
+    y·s > 1e-10; ring buffer of `history_size` (torch default 100)
+  * two-loop recursion with H₀ = (y·s)/(y·y)·I
+  * per-`.step()` break conditions, modeled as a `done` latch that resets at
+    each segment boundary (`pos == 0`):
+      - entry: max|g| ≤ tolerance_grad → whole segment is a no-op
+      - pre-update: g·d > −tolerance_change
+      - post-update: max|g_new| ≤ tol_grad, max|t·d| ≤ tol_change,
+        |loss_new − loss_prev| < tol_change
+
+The optimizer state lives on device; `value_and_grad_fn` is the closure
+(one full forward+backward through the flow net per iteration).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LBFGSState(NamedTuple):
+    x: jnp.ndarray          # (n,) parameters
+    d: jnp.ndarray          # (n,) last search direction
+    t: jnp.ndarray          # () last step size
+    prev_grad: jnp.ndarray  # (n,)
+    prev_loss: jnp.ndarray  # ()
+    y_buf: jnp.ndarray      # (m, n) gradient differences
+    s_buf: jnp.ndarray      # (m, n) parameter steps
+    ro_buf: jnp.ndarray     # (m,) 1/(y·s)
+    h_diag: jnp.ndarray     # ()
+    count: jnp.ndarray      # () int32 — total history pushes
+    n_iter: jnp.ndarray     # () int32 — total iterations executed
+    done: jnp.ndarray       # () bool — break latch for the current segment
+    last_step_max: jnp.ndarray  # () max|t·d| of the last applied update
+
+
+def lbfgs_init(x0: jnp.ndarray, history_size: int = 100) -> LBFGSState:
+    n = x0.shape[0]
+    zeros_n = jnp.zeros_like(x0)
+    return LBFGSState(
+        x=x0,
+        d=zeros_n,
+        t=jnp.asarray(0.0, x0.dtype),
+        prev_grad=zeros_n,
+        prev_loss=jnp.asarray(0.0, x0.dtype),
+        y_buf=jnp.zeros((history_size, n), x0.dtype),
+        s_buf=jnp.zeros((history_size, n), x0.dtype),
+        ro_buf=jnp.zeros((history_size,), x0.dtype),
+        h_diag=jnp.asarray(1.0, x0.dtype),
+        count=jnp.asarray(0, jnp.int32),
+        n_iter=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+        last_step_max=jnp.asarray(jnp.inf, x0.dtype),
+    )
+
+
+def _two_loop(
+    grad: jnp.ndarray,
+    y_buf: jnp.ndarray,
+    s_buf: jnp.ndarray,
+    ro_buf: jnp.ndarray,
+    h_diag: jnp.ndarray,
+    count: jnp.ndarray,
+) -> jnp.ndarray:
+    """Two-loop recursion over a ring buffer, masked beyond `count` entries.
+
+    Invalid slots contribute exactly zero (their α and β vanish), so a fixed
+    m-length loop reproduces torch's variable-length history."""
+    m = y_buf.shape[0]
+    num_valid = jnp.minimum(count, m)
+
+    q0 = -grad
+    al0 = jnp.zeros((m,), grad.dtype)
+
+    def backward(k, carry):
+        q, al = carry
+        i = jnp.mod(count - 1 - k, m)  # newest first
+        valid = k < num_valid
+        a = jnp.where(valid, ro_buf[i] * jnp.dot(s_buf[i], q), 0.0)
+        q = q - a * y_buf[i]
+        return q, al.at[i].set(a)
+
+    q, al = jax.lax.fori_loop(0, m, backward, (q0, al0))
+    d0 = q * h_diag
+
+    def forward(k, d):
+        i = jnp.mod(count - num_valid + k, m)  # oldest first
+        valid = k < num_valid
+        be = jnp.where(valid, ro_buf[i] * jnp.dot(y_buf[i], d), 0.0)
+        return d + s_buf[i] * (al[i] - be)
+
+    return jax.lax.fori_loop(0, m, forward, d0)
+
+
+def lbfgs_iteration(
+    value_and_grad_fn: Callable[[jnp.ndarray], tuple[jnp.ndarray, jnp.ndarray]],
+    state: LBFGSState,
+    pos: jnp.ndarray,
+    lr: float = 1.0,
+    tolerance_grad: float = 1e-7,
+    tolerance_change: float = 1e-9,
+) -> tuple[LBFGSState, jnp.ndarray]:
+    """One uniform L-BFGS iteration; `pos` is the index within the current
+    `.step()` segment (0..max_iter-1). Returns (new_state, loss-at-entry)."""
+    m = state.y_buf.shape[0]
+    loss, grad = value_and_grad_fn(state.x)
+
+    at_entry = pos == 0
+    done = jnp.where(at_entry, False, state.done)
+
+    opt_cond = jnp.max(jnp.abs(grad)) <= tolerance_grad
+    # break checks carried over from the previous iteration's post-update
+    # state (torch checks them at the end of the prior loop trip):
+    small_step = state.last_step_max <= tolerance_change
+    flat_loss = jnp.abs(loss - state.prev_loss) < tolerance_change
+    carried_break = jnp.where(
+        at_entry, opt_cond, opt_cond | small_step | flat_loss
+    )
+    done = done | carried_break
+
+    first = state.n_iter == 0
+
+    # --- direction ---------------------------------------------------------
+    y = grad - state.prev_grad
+    s = state.d * state.t
+    ys = jnp.dot(y, s)
+    push = (~done) & (~first) & (ys > 1e-10)
+    idx = jnp.mod(state.count, m)
+    # Row-level writes (dynamic_update_slice) so XLA updates the ring buffer
+    # in place under scan donation instead of copying the whole history.
+    y_buf = state.y_buf.at[idx].set(jnp.where(push, y, state.y_buf[idx]))
+    s_buf = state.s_buf.at[idx].set(jnp.where(push, s, state.s_buf[idx]))
+    ro_buf = state.ro_buf.at[idx].set(
+        jnp.where(push, 1.0 / ys, state.ro_buf[idx])
+    )
+    count = jnp.where(push, state.count + 1, state.count)
+    h_diag = jnp.where(push, ys / jnp.dot(y, y), state.h_diag)
+
+    d_two_loop = _two_loop(grad, y_buf, s_buf, ro_buf, h_diag, count)
+    d = jnp.where(first, -grad, d_two_loop)
+    t = jnp.where(
+        first, jnp.minimum(1.0, 1.0 / jnp.sum(jnp.abs(grad))) * lr, lr
+    ).astype(state.x.dtype)
+
+    gtd = jnp.dot(grad, d)
+    pre_break = gtd > -tolerance_change
+
+    apply = ~done & ~pre_break
+    x_new = jnp.where(apply, state.x + t * d, state.x)
+    last_step_max = jnp.where(apply, jnp.max(jnp.abs(t * d)), jnp.inf)
+
+    def sel(new, old):
+        return jnp.where(done, old, new)
+
+    new_state = LBFGSState(
+        x=x_new,
+        d=sel(d, state.d),
+        t=sel(t, state.t),
+        prev_grad=sel(grad, state.prev_grad),
+        prev_loss=sel(loss, state.prev_loss),
+        y_buf=y_buf,  # pushes already gated on ~done
+        s_buf=s_buf,
+        ro_buf=ro_buf,
+        h_diag=sel(h_diag, state.h_diag),
+        count=sel(count, state.count),
+        n_iter=sel(state.n_iter + 1, state.n_iter),
+        done=done | pre_break,
+        last_step_max=sel(last_step_max, state.last_step_max),
+    )
+    return new_state, loss
+
+
+def lbfgs_run(
+    value_and_grad_fn,
+    x0: jnp.ndarray,
+    num_steps: int,
+    max_iter: int = 10,
+    history_size: int = 100,
+    lr: float = 1.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Convenience driver: `num_steps` torch-style `.step()` segments of
+    `max_iter` iterations each, as one lax.scan. Returns (x_final, losses)."""
+    state = lbfgs_init(x0, history_size)
+
+    def body(state, j):
+        pos = jnp.mod(j, max_iter)
+        state, loss = lbfgs_iteration(value_and_grad_fn, state, pos, lr)
+        return state, loss
+
+    state, losses = jax.lax.scan(
+        body, state, jnp.arange(num_steps * max_iter, dtype=jnp.int32)
+    )
+    return state.x, losses

@@ -1,0 +1,31 @@
+from pcfa_tpu.ops.warp import (
+    coords_grid,
+    grid_sample,
+    bilinear_sampler,
+    interpolate_bilinear,
+    avg_pool2d,
+    upflow,
+)
+from pcfa_tpu.ops.correlation import (
+    allpairs_correlation,
+    corr_pyramid,
+    corr_lookup,
+    local_correlation,
+    global_correlation,
+)
+from pcfa_tpu.ops.channelnorm import channel_norm
+
+__all__ = [
+    "coords_grid",
+    "grid_sample",
+    "bilinear_sampler",
+    "interpolate_bilinear",
+    "avg_pool2d",
+    "upflow",
+    "allpairs_correlation",
+    "corr_pyramid",
+    "corr_lookup",
+    "local_correlation",
+    "global_correlation",
+    "channel_norm",
+]

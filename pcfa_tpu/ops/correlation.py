@@ -1,0 +1,137 @@
+"""Correlation volumes: the compute hot spots of every flow network.
+
+Pure-jnp/XLA reference implementations of the three correlation flavors whose
+reference counterparts are hand-written C++/CUDA (SURVEY.md §2.5):
+
+* `allpairs_correlation` + `corr_pyramid` + `corr_lookup` — RAFT/GMA
+  CorrBlock (`models/raft/corr.py:12-60`): one (H·W)×(H·W) matmul / sqrt(C),
+  4-level avg-pooled pyramid, per-iteration bilinear window lookup.
+* `local_correlation` — PWCNet's `spatial_correlation_sample` with
+  kernel=1, patch=9, stride=1 (vendored OpenMP kernel
+  `Correlation_Module/correlation.cpp:39-73,78-125`): 81 shifted
+  dot-products with zero padding, normalized by channel count
+  (`PWCNet.py:45-58`).
+* `global_correlation` — FlowNetC's `correlation_cuda` with
+  max_displacement=20, stride2=2 → 21×21=441 channels
+  (`FlowNetC.py:28-31`, `correlation_cuda_kernel.cu:46-120`).
+
+Everything here lowers to XLA dot/conv/gather; the Pallas kernels in
+`pcfa_tpu/ops/pallas/` provide fused versions of the lookup for large
+problems. Layout is channels-last (B, H, W, C).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pcfa_tpu.ops.warp import avg_pool2d, bilinear_sampler
+
+
+def allpairs_correlation(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray:
+    """All-pairs correlation ⟨f1, f2⟩ / sqrt(C) (`raft/corr.py:52-60`).
+
+    fmap1, fmap2: (B, H, W, C) → returns (B, H, W, H, W).
+    """
+    B, H, W, C = fmap1.shape
+    f1 = fmap1.reshape(B, H * W, C)
+    f2 = fmap2.reshape(B, H * W, C)
+    corr = jnp.einsum(
+        "bnc,bmc->bnm", f1, f2, precision=jax.lax.Precision.HIGHEST
+    )
+    corr = corr / jnp.sqrt(jnp.asarray(C, dtype=fmap1.dtype))
+    return corr.reshape(B, H, W, H, W)
+
+
+def corr_pyramid(corr: jnp.ndarray, num_levels: int = 4) -> list[jnp.ndarray]:
+    """Average-pool pyramid over the *second* pair of spatial axes
+    (`raft/corr.py:21-27`). corr: (B, H1, W1, H2, W2) → list of
+    (B·H1·W1, H2/2^i, W2/2^i, 1) arrays ready for bilinear lookup."""
+    B, H1, W1, H2, W2 = corr.shape
+    level = corr.reshape(B * H1 * W1, H2, W2, 1)
+    pyramid = [level]
+    for _ in range(num_levels - 1):
+        level = avg_pool2d(level, 2, 2)
+        pyramid.append(level)
+    return pyramid
+
+
+def corr_lookup(
+    pyramid: list[jnp.ndarray], coords: jnp.ndarray, radius: int = 4
+) -> jnp.ndarray:
+    """Radius-r window lookup in each pyramid level (`raft/corr.py:29-50`).
+
+    coords: (B, H1, W1, 2) current correspondence estimates in level-0 pixels.
+    Returns (B, H1, W1, num_levels·(2r+1)²), channel order identical to the
+    reference: per level, index a·(2r+1)+b samples at
+    (x + lin[a], y + lin[b]) — note the reference adds the *first* meshgrid
+    axis to x (`raft/corr.py:37-43`), which we reproduce exactly.
+    """
+    r = radius
+    B, H1, W1, _ = coords.shape
+    lin = jnp.linspace(-r, r, 2 * r + 1)
+    # reference: delta = stack(meshgrid(dy, dx, indexing='ij'), -1) then
+    # coords(x,y) + delta → x gets the row offset, y the column offset.
+    da, db = jnp.meshgrid(lin, lin, indexing="ij")
+    delta = jnp.stack([da, db], axis=-1)  # (2r+1, 2r+1, 2), [...,0] added to x
+
+    out_pyramid = []
+    for i, corr in enumerate(pyramid):
+        centroid = coords.reshape(B * H1 * W1, 1, 1, 2) / 2**i
+        coords_lvl = centroid + delta[None]
+        sampled = bilinear_sampler(corr, coords_lvl)  # (B·H1·W1, 2r+1, 2r+1, 1)
+        out_pyramid.append(sampled.reshape(B, H1, W1, (2 * r + 1) ** 2))
+    return jnp.concatenate(out_pyramid, axis=-1)
+
+
+def local_correlation(
+    fmap1: jnp.ndarray,
+    fmap2: jnp.ndarray,
+    patch_size: int = 9,
+    normalize_by_channels: bool = True,
+) -> jnp.ndarray:
+    """Local (patch) correlation, PWCNet flavor (`PWCNet.py:45-58`).
+
+    out[b, h, w, (dy+R)·P + (dx+R)] = Σ_c f1[b,h,w,c] · f2[b,h+dy,w+dx,c] / C
+    with zero padding outside the image (`correlation.cpp:6,20-36`: the
+    output-channel index pairs (ph, pw) shift rows resp. columns).
+    """
+    B, H, W, C = fmap1.shape
+    R = (patch_size - 1) // 2
+    f2p = jnp.pad(fmap2, ((0, 0), (R, R), (R, R), (0, 0)))
+    out = []
+    for dy in range(-R, R + 1):
+        for dx in range(-R, R + 1):
+            shifted = jax.lax.dynamic_slice(
+                f2p, (0, dy + R, dx + R, 0), (B, H, W, C)
+            )
+            out.append(jnp.sum(fmap1 * shifted, axis=-1))
+    corr = jnp.stack(out, axis=-1)
+    if normalize_by_channels:
+        corr = corr / C
+    return corr
+
+
+def global_correlation(
+    fmap1: jnp.ndarray,
+    fmap2: jnp.ndarray,
+    max_displacement: int = 20,
+    stride2: int = 2,
+) -> jnp.ndarray:
+    """Global correlation, FlowNetC flavor (`correlation_cuda_kernel.cu:46-120`,
+    params `FlowNetC.py:31`): displacements on a stride-2 grid in
+    [-max_disp, max_disp]², kernel 1, zero padding, normalized by the channel
+    count. Channel index = (dy_idx)·D + (dx_idx), D = 2·max_disp/stride2 + 1.
+    """
+    B, H, W, C = fmap1.shape
+    R = max_displacement
+    f2p = jnp.pad(fmap2, ((0, 0), (R, R), (R, R), (0, 0)))
+    out = []
+    for dy in range(-R, R + 1, stride2):
+        for dx in range(-R, R + 1, stride2):
+            shifted = jax.lax.dynamic_slice(
+                f2p, (0, dy + R, dx + R, 0), (B, H, W, C)
+            )
+            out.append(jnp.sum(fmap1 * shifted, axis=-1))
+    corr = jnp.stack(out, axis=-1)
+    return corr / C

@@ -1,0 +1,110 @@
+"""Correlation volumes vs the reference CorrBlock and a naive numpy oracle."""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pcfa_tpu.ops import correlation
+
+torch = pytest.importorskip("torch")
+
+REFERENCE = "/root/reference"
+
+
+def _naive_local_corr(f1, f2, patch):
+    """Direct transcription of the OpenMP kernel semantics
+    (correlation.cpp:20-36) as a numpy loop oracle."""
+    B, H, W, C = f1.shape
+    R = (patch - 1) // 2
+    out = np.zeros((B, H, W, patch * patch), np.float32)
+    for b in range(B):
+        for h in range(H):
+            for w in range(W):
+                for pi, dy in enumerate(range(-R, R + 1)):
+                    for pj, dx in enumerate(range(-R, R + 1)):
+                        hh, ww = h + dy, w + dx
+                        if 0 <= hh < H and 0 <= ww < W:
+                            out[b, h, w, pi * patch + pj] = np.dot(
+                                f1[b, h, w], f2[b, hh, ww]
+                            )
+    return out / C
+
+
+def test_local_correlation_matches_oracle(rng):
+    f1 = rng.standard_normal((1, 6, 7, 4)).astype(np.float32)
+    f2 = rng.standard_normal((1, 6, 7, 4)).astype(np.float32)
+    ours = np.asarray(correlation.local_correlation(jnp.asarray(f1), jnp.asarray(f2), 5))
+    np.testing.assert_allclose(ours, _naive_local_corr(f1, f2, 5), atol=1e-5)
+
+
+def test_global_correlation_channels_and_center(rng):
+    f1 = rng.standard_normal((1, 8, 8, 4)).astype(np.float32)
+    f2 = rng.standard_normal((1, 8, 8, 4)).astype(np.float32)
+    out = np.asarray(
+        correlation.global_correlation(jnp.asarray(f1), jnp.asarray(f2), 4, 2)
+    )
+    D = 2 * 4 // 2 + 1
+    assert out.shape == (1, 8, 8, D * D)
+    center = D * D // 2  # zero displacement channel
+    np.testing.assert_allclose(
+        out[0, :, :, center], (f1[0] * f2[0]).sum(-1) / 4, atol=1e-5
+    )
+    # displacement (+2, 0): channel (dy_idx=D//2+1, dx_idx=D//2)
+    ch = (D // 2 + 1) * D + D // 2
+    np.testing.assert_allclose(
+        out[0, :6, :, ch], (f1[0, :6] * f2[0, 2:]).sum(-1) / 4, atol=1e-5
+    )
+
+
+def test_allpairs_matches_reference_corrblock(rng):
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from models.raft.corr import CorrBlock  # reference implementation
+
+    f1 = rng.standard_normal((1, 6, 8, 16)).astype(np.float32)
+    f2 = rng.standard_normal((1, 6, 8, 16)).astype(np.float32)
+    t1 = torch.from_numpy(np.transpose(f1, (0, 3, 1, 2)))
+    t2 = torch.from_numpy(np.transpose(f2, (0, 3, 1, 2)))
+
+    ref_corr = CorrBlock.corr(t1, t2).numpy()  # (b, h1, w1, 1, h2, w2)
+    ours = np.asarray(correlation.allpairs_correlation(jnp.asarray(f1), jnp.asarray(f2)))
+    np.testing.assert_allclose(ours, ref_corr[:, :, :, 0], atol=1e-5)
+
+
+def test_corr_lookup_matches_reference_corrblock(rng):
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from models.raft.corr import CorrBlock
+
+    # 16×16 so the smallest pyramid level is 2×2 (1×1 degenerates to NaN in
+    # the reference's own coordinate normalization).
+    B, H, W, C = 1, 16, 16, 16
+    f1 = rng.standard_normal((B, H, W, C)).astype(np.float32)
+    f2 = rng.standard_normal((B, H, W, C)).astype(np.float32)
+    t1 = torch.from_numpy(np.transpose(f1, (0, 3, 1, 2)))
+    t2 = torch.from_numpy(np.transpose(f2, (0, 3, 1, 2)))
+
+    block = CorrBlock(t1, t2, num_levels=4, radius=4)
+    coords = rng.uniform(0, 15, (B, H, W, 2)).astype(np.float32)
+    coords_nchw = torch.from_numpy(np.transpose(coords, (0, 3, 1, 2)))
+    ref = block(coords_nchw).numpy()  # (B, L*81, H, W)
+
+    corr = correlation.allpairs_correlation(jnp.asarray(f1), jnp.asarray(f2))
+    pyramid = correlation.corr_pyramid(corr, num_levels=4)
+    ours = np.asarray(correlation.corr_lookup(pyramid, jnp.asarray(coords), radius=4))
+    np.testing.assert_allclose(
+        ours, np.transpose(ref, (0, 2, 3, 1)), atol=1e-4
+    )
+
+
+def test_channel_norm(rng):
+    from pcfa_tpu.ops import channel_norm
+
+    x = rng.standard_normal((2, 4, 4, 8)).astype(np.float32)
+    out = np.asarray(channel_norm(jnp.asarray(x)))
+    np.testing.assert_allclose(
+        out[..., 0], np.sqrt((x**2).sum(-1)), atol=1e-5
+    )

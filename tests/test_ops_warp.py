@@ -1,0 +1,125 @@
+"""Sampling/resizing primitives vs torch.nn.functional (bit-level parity)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pcfa_tpu.ops import warp
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+
+def _nchw(x_nhwc):
+    return torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)))
+
+
+def _to_nhwc(t):
+    return np.transpose(t.numpy(), (0, 2, 3, 1))
+
+
+@pytest.mark.parametrize("align_corners", [True, False])
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+def test_grid_sample_matches_torch(align_corners, padding_mode, rng):
+    img = rng.standard_normal((2, 7, 9, 4)).astype(np.float32)
+    grid = rng.uniform(-1.3, 1.3, (2, 5, 6, 2)).astype(np.float32)  # incl. OOB
+    ref = F.grid_sample(
+        _nchw(img),
+        torch.from_numpy(grid),
+        mode="bilinear",
+        padding_mode=padding_mode,
+        align_corners=align_corners,
+    )
+    ours = warp.grid_sample(
+        jnp.asarray(img), jnp.asarray(grid), align_corners, padding_mode
+    )
+    np.testing.assert_allclose(np.asarray(ours), _to_nhwc(ref), atol=1e-5)
+
+
+def test_grid_sample_grad_matches_torch(rng):
+    img = rng.standard_normal((1, 6, 6, 2)).astype(np.float32)
+    grid = rng.uniform(-1, 1, (1, 4, 4, 2)).astype(np.float32)
+
+    t_img = _nchw(img).requires_grad_(True)
+    t_grid = torch.from_numpy(grid).requires_grad_(True)
+    F.grid_sample(t_img, t_grid, align_corners=True).sum().backward()
+
+    import jax
+
+    g_img, g_grid = jax.grad(
+        lambda i, g: warp.grid_sample(i, g, True, "zeros").sum(), argnums=(0, 1)
+    )(jnp.asarray(img), jnp.asarray(grid))
+    np.testing.assert_allclose(
+        np.asarray(g_img), _to_nhwc(t_img.grad.detach()), atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(g_grid), t_grid.grad.numpy(), atol=1e-4)
+
+
+def test_bilinear_sampler_matches_raft_reference(rng):
+    """Compare against the reference bilinear_sampler (raft/utils/utils.py:57)."""
+    img = rng.standard_normal((2, 8, 10, 3)).astype(np.float32)
+    coords = rng.uniform(-1, 11, (2, 4, 5, 2)).astype(np.float32)
+
+    H, W = 8, 10
+    xg = 2 * torch.from_numpy(coords[..., :1]) / (W - 1) - 1
+    yg = 2 * torch.from_numpy(coords[..., 1:]) / (H - 1) - 1
+    ref = F.grid_sample(_nchw(img), torch.cat([xg, yg], -1), align_corners=True)
+
+    ours = warp.bilinear_sampler(jnp.asarray(img), jnp.asarray(coords))
+    np.testing.assert_allclose(np.asarray(ours), _to_nhwc(ref), atol=1e-5)
+
+
+def test_bilinear_sampler_mask(rng):
+    img = jnp.ones((1, 8, 8, 1))
+    coords = jnp.asarray(
+        np.array([[[[4.0, 4.0], [-2.0, 4.0], [4.0, 9.0]]]], dtype=np.float32)
+    )
+    _, mask = warp.bilinear_sampler(img, coords, mask=True)
+    np.testing.assert_array_equal(np.asarray(mask[0, 0]), [1.0, 0.0, 0.0])
+
+
+@pytest.mark.parametrize("align_corners", [True, False])
+@pytest.mark.parametrize("scale", [2, 4])
+def test_interpolate_up_matches_torch(align_corners, scale, rng):
+    img = rng.standard_normal((2, 5, 7, 3)).astype(np.float32)
+    ref = F.interpolate(
+        _nchw(img), scale_factor=scale, mode="bilinear", align_corners=align_corners
+    )
+    ours = warp.interpolate_bilinear(
+        jnp.asarray(img), (5 * scale, 7 * scale), align_corners
+    )
+    np.testing.assert_allclose(np.asarray(ours), _to_nhwc(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("align_corners", [True, False])
+def test_interpolate_down_matches_torch(align_corners, rng):
+    img = rng.standard_normal((1, 8, 12, 2)).astype(np.float32)
+    ref = F.interpolate(
+        _nchw(img), size=(5, 7), mode="bilinear", align_corners=align_corners
+    )
+    ours = warp.interpolate_bilinear(jnp.asarray(img), (5, 7), align_corners)
+    np.testing.assert_allclose(np.asarray(ours), _to_nhwc(ref), atol=1e-5)
+
+
+def test_upflow8_matches_raft(rng):
+    flow = rng.standard_normal((1, 4, 6, 2)).astype(np.float32)
+    ref = 8 * F.interpolate(
+        _nchw(flow), size=(32, 48), mode="bilinear", align_corners=True
+    )
+    ours = warp.upflow(jnp.asarray(flow), 8)
+    np.testing.assert_allclose(np.asarray(ours), _to_nhwc(ref), atol=1e-4)
+
+
+def test_avg_pool_matches_torch(rng):
+    img = rng.standard_normal((2, 8, 10, 3)).astype(np.float32)
+    ref = F.avg_pool2d(_nchw(img), 2, stride=2)
+    ours = warp.avg_pool2d(jnp.asarray(img), 2, 2)
+    np.testing.assert_allclose(np.asarray(ours), _to_nhwc(ref), atol=1e-6)
+
+
+def test_coords_grid():
+    grid = np.asarray(warp.coords_grid(2, 3, 4))
+    assert grid.shape == (2, 3, 4, 2)
+    np.testing.assert_array_equal(grid[0, :, :, 0], np.tile(np.arange(4), (3, 1)))
+    np.testing.assert_array_equal(grid[1, :, :, 1], np.tile(np.arange(3)[:, None], (1, 4)))
