@@ -1,0 +1,31 @@
+"""Flow-estimator zoo: Flax models + ModelSpec registry + weight converters.
+
+Equivalent of the reference's `import_and_load` (`ownutilities.py:64-169`)
+with declarative per-net contracts instead of scattered special cases.
+"""
+
+from __future__ import annotations
+
+from pcfa_tpu.models.spec import ModelSpec, available_models, get_spec, register
+from pcfa_tpu.models import convert
+from pcfa_tpu.models.spynet import SpyNet
+
+register(
+    ModelSpec(
+        name="SpyNet",
+        pad_divisor=64,
+        make=SpyNet,
+        convert=convert.spynet_params_from_files,
+        defaults={"nlevels": 6},
+    )
+)
+
+
+def make_model(name: str, **overrides):
+    """Construct the Flax module for `name` (no weights).
+
+    Returns (module, spec)."""
+    spec = get_spec(name)
+    kwargs = dict(spec.defaults)
+    kwargs.update(overrides)
+    return spec.make(**kwargs), spec

@@ -1,0 +1,115 @@
+"""PyTorch-checkpoint → Flax-params converters.
+
+Torch is a converter-only dependency (imported lazily; the TPU compute path
+never touches it). Checkpoints handled per SURVEY.md §5 "checkpoint/resume":
+
+* generic state dicts (incl. FlowNet2/PWCNet `{'state_dict': ...}` wrapping,
+  `ownutilities.py:134-138,157-158`, and RAFT/GMA `module.` DataParallel
+  prefixes, `ownutilities.py:105-124`),
+* SpyNet's per-conv-layer weight files
+  `spynet_weights/modelL{level}_{model}-{conv}-{weight,bias}.pth.tar`
+  (`SpyNet.py:77-81`).
+
+Layout conversions (torch → flax, channels-last):
+    conv weight   (O, I, kH, kW) → (kH, kW, I, O)
+    linear weight (O, I)         → (I, O)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Mapping
+
+import numpy as np
+
+
+def _to_numpy(t: Any) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    return t.detach().cpu().numpy()  # torch tensor
+
+
+def conv_kernel(w: Any) -> np.ndarray:
+    """Torch OIHW conv weight → flax HWIO kernel."""
+    return np.transpose(_to_numpy(w), (2, 3, 1, 0))
+
+
+def conv_transpose_kernel(w: Any) -> np.ndarray:
+    """Torch IOHW ConvTranspose2d weight → flax HWIO kernel for
+    `nn.ConvTranspose` (which convolves, rather than cross-correlates, so the
+    spatial taps must be flipped)."""
+    k = np.transpose(_to_numpy(w), (2, 3, 0, 1))
+    return k[::-1, ::-1].copy()
+
+
+def linear_kernel(w: Any) -> np.ndarray:
+    return np.transpose(_to_numpy(w), (1, 0))
+
+
+def load_torch_state(path: str) -> dict[str, np.ndarray]:
+    """Load a torch checkpoint as a flat numpy state dict, unwrapping
+    `{'state_dict': ...}` and stripping `module.` prefixes."""
+    import torch
+
+    state = torch.load(path, map_location="cpu")
+    if isinstance(state, Mapping) and "state_dict" in state:
+        state = state["state_dict"]
+    out = {}
+    for k, v in state.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        out[k] = _to_numpy(v)
+    return out
+
+
+def torch_conv(sd: Mapping[str, Any], key: str) -> dict[str, np.ndarray]:
+    """{kernel, bias} flax leaf dict for torch conv layer `key`."""
+    p = {"kernel": conv_kernel(sd[f"{key}.weight"])}
+    if f"{key}.bias" in sd:
+        p["bias"] = _to_numpy(sd[f"{key}.bias"])
+    return p
+
+
+# ---------------------------------------------------------------- SpyNet ---
+
+def spynet_params_from_arrays(
+    levels: list[list[tuple[np.ndarray, np.ndarray]]],
+) -> dict:
+    """Build SpyNet flax params from per-level conv (weight OIHW, bias) lists.
+
+    `levels[i][j]` is conv j of `Basic` block i (block i handles pyramid
+    position i, coarsest first — matching `moduleBasic[intLevel]`)."""
+    params: dict = {}
+    for lvl, convs in enumerate(levels):
+        block = {}
+        for j, (w, b) in enumerate(convs):
+            block[f"conv{j}"] = {"kernel": conv_kernel(w), "bias": _to_numpy(b)}
+        params[f"basic{lvl}"] = block
+    return params
+
+
+def spynet_params_from_files(
+    weights_dir: str, strmodel: str = "F", nlevels: int = 6
+) -> dict:
+    """Read the reference's per-layer SpyNet files (`SpyNet.py:77-81`).
+
+    File naming: `modelL{level+1}_{strmodel}-{conv+1}-{weight,bias}.pth.tar`.
+    Chairs models ('3'/'4') reuse level 5 weights for level 6
+    (`SpyNet.py:73-75`)."""
+    import torch
+
+    levels = []
+    for lvl in range(nlevels):
+        file_lvl = lvl
+        if lvl == 5 and strmodel in ("3", "4"):
+            file_lvl = 4
+        convs = []
+        for j in range(5):
+            stem = os.path.join(
+                weights_dir, f"modelL{file_lvl + 1}_{strmodel}-{j + 1}-"
+            )
+            w = torch.load(stem + "weight.pth.tar", map_location="cpu")
+            b = torch.load(stem + "bias.pth.tar", map_location="cpu")
+            convs.append((_to_numpy(w), _to_numpy(b)))
+        levels.append(convs)
+    return spynet_params_from_arrays(levels)
