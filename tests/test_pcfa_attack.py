@@ -1,0 +1,98 @@
+"""End-to-end PCFA attack integration tests (SURVEY.md §4 item 3).
+
+Tiny SpyNet + synthetic image pair; assert the attack pushes the prediction
+toward the target while respecting the L2 bound — the reference's only
+verification mechanism, now automated.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pcfa_tpu.attack.pcfa import PCFAConfig, pcfa_attack
+from pcfa_tpu.data.synthetic import SyntheticDataset
+from pcfa_tpu.models import make_model
+
+
+NLEVELS = 3
+H, W = 32, 48
+
+
+@pytest.fixture(scope="module")
+def spynet_fn():
+    model, _ = make_model("SpyNet", nlevels=NLEVELS)
+    x = jnp.zeros((1, H, W, 3))
+    params = model.init(jax.random.PRNGKey(0), x, x)["params"]
+
+    def flow_fn(x1, x2):
+        return model.apply({"params": params}, x1, x2)
+
+    return flow_fn
+
+
+@pytest.fixture(scope="module")
+def image_pair():
+    ds = SyntheticDataset(num_samples=1, size=(H, W), max_shift=2, seed=3)
+    img1, img2, _, _ = ds[0]
+    return (
+        jnp.asarray(img1[None] / 255.0, jnp.float32),
+        jnp.asarray(img2[None] / 255.0, jnp.float32),
+    )
+
+
+def _run(flow_fn, image_pair, **cfg_kwargs):
+    cfg = PCFAConfig(steps=3, max_iter=5, delta_bound=0.02, **cfg_kwargs)
+    x1, x2 = image_pair
+    target = jnp.zeros_like(flow_fn(x1, x2))
+    run = jax.jit(
+        lambda a, b, t: pcfa_attack(flow_fn, a, b, t, cfg), backend="cpu"
+    )
+    return cfg, run(x1, x2, target)
+
+
+@pytest.mark.parametrize("boxconstraint", ["clipping", "change_of_variables"])
+def test_pcfa_disjoint_improves_and_bounds(spynet_fn, image_pair, boxconstraint):
+    cfg, res = _run(spynet_fn, image_pair, boxconstraint=boxconstraint)
+    m = res.metrics
+    aee0 = float(jnp.sqrt(jnp.sum(res.flow_pred_init**2, -1)).mean())
+    # attack moved prediction toward zero-flow target
+    assert float(m.aee_adv_tgt_min[-1]) < aee0
+    # once a step lands under the bound (latch), the aee-to-target minimum
+    # is non-increasing (`attack_PCFA.py:233-239`)
+    l2 = np.asarray(m.l2_delta12)
+    aee_min = np.asarray(m.aee_adv_tgt_min)
+    below = np.where(l2 <= cfg.delta_bound)[0]
+    if below.size > 1:
+        post = aee_min[below[0]:]
+        assert np.all(np.diff(post) <= 1e-12)
+    # metrics have the right trajectory shape
+    assert m.aee_adv_tgt.shape == (cfg.steps,)
+    # final deltas are finite
+    assert np.isfinite(np.asarray(res.delta1)).all()
+    assert np.isfinite(np.asarray(res.delta2)).all()
+
+
+def test_pcfa_joint_single_delta(spynet_fn, image_pair):
+    cfg, res = _run(spynet_fn, image_pair, joint_perturbation=True)
+    # joint mode: both reported deltas are the same double-clamped field
+    np.testing.assert_allclose(
+        np.asarray(res.delta1), np.asarray(res.delta2), rtol=0, atol=0
+    )
+    aee0 = float(jnp.sqrt(jnp.sum(res.flow_pred_init**2, -1)).mean())
+    assert float(res.metrics.aee_adv_tgt_min[-1]) < aee0
+
+
+def test_joint_cov_rejected():
+    with pytest.raises(ValueError):
+        PCFAConfig(joint_perturbation=True, boxconstraint="change_of_variables")
+
+
+def test_best_delta_under_bound_when_latched(spynet_fn, image_pair):
+    """If any step lands under the bound, the reported best must stay under."""
+    cfg, res = _run(spynet_fn, image_pair)
+    m = res.metrics
+    ever_below = bool(np.any(np.asarray(m.l2_delta12) <= cfg.delta_bound))
+    if ever_below:
+        assert float(m.l2_delta12_min[-1]) <= cfg.delta_bound + 1e-7
