@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pcfa_tpu.models.spec import ModelSpec, available_models, get_spec, register
 from pcfa_tpu.models import convert
+from pcfa_tpu.models.raft import RAFT
 from pcfa_tpu.models.spynet import SpyNet
 
 register(
@@ -17,6 +18,17 @@ register(
         make=SpyNet,
         convert=convert.spynet_params_from_files,
         defaults={"nlevels": 6},
+    )
+)
+
+register(
+    ModelSpec(
+        name="RAFT",
+        pad_divisor=8,
+        iters=12,  # `raft.py:86` default, used by the adapter
+        make=RAFT,
+        convert=convert.raft_params_from_checkpoint,
+        defaults={"iters": 12},
     )
 )
 

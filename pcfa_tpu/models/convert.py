@@ -113,3 +113,76 @@ def spynet_params_from_files(
             convs.append((_to_numpy(w), _to_numpy(b)))
         levels.append(convs)
     return spynet_params_from_arrays(levels)
+
+
+# ------------------------------------------------------------------ RAFT ---
+
+def fold_batchnorm(sd: Mapping[str, Any], key: str, eps: float = 1e-5) -> dict:
+    """Eval-mode BatchNorm folded to {scale, bias} for `FrozenBatchNorm`."""
+    gamma = _to_numpy(sd[f"{key}.weight"])
+    beta = _to_numpy(sd[f"{key}.bias"])
+    mean = _to_numpy(sd[f"{key}.running_mean"])
+    var = _to_numpy(sd[f"{key}.running_var"])
+    scale = gamma / np.sqrt(var + eps)
+    return {"scale": scale, "bias": beta - mean * scale}
+
+
+def basic_encoder_params(sd: Mapping[str, Any], prefix: str, norm_fn: str) -> dict:
+    """`BasicEncoder` weights (`extractor.py:118-192`) → flax tree.
+
+    Instance norms carry no weights; batch norms are folded."""
+    p = {
+        "conv1": torch_conv(sd, f"{prefix}.conv1"),
+        "conv2": torch_conv(sd, f"{prefix}.conv2"),
+    }
+    if norm_fn == "batch":
+        p["norm1"] = fold_batchnorm(sd, f"{prefix}.norm1")
+    for i in (1, 2, 3):
+        for j in (0, 1):
+            t = f"{prefix}.layer{i}.{j}"
+            blk = {
+                "conv1": torch_conv(sd, f"{t}.conv1"),
+                "conv2": torch_conv(sd, f"{t}.conv2"),
+            }
+            if norm_fn == "batch":
+                blk["norm1"] = fold_batchnorm(sd, f"{t}.norm1")
+                blk["norm2"] = fold_batchnorm(sd, f"{t}.norm2")
+            if f"{t}.downsample.0.weight" in sd:
+                blk["downsample"] = torch_conv(sd, f"{t}.downsample.0")
+                if norm_fn == "batch":
+                    blk["norm3"] = fold_batchnorm(sd, f"{t}.downsample.1")
+            p[f"layer{i}_{j}"] = blk
+    return p
+
+
+def raft_update_block_params(sd: Mapping[str, Any], prefix: str = "update_block") -> dict:
+    """`BasicUpdateBlock` weights (`update.py:114-136`) → flax tree."""
+    return {
+        "encoder": {
+            k: torch_conv(sd, f"{prefix}.encoder.{k}")
+            for k in ("convc1", "convc2", "convf1", "convf2", "conv")
+        },
+        "gru": {
+            k: torch_conv(sd, f"{prefix}.gru.{k}")
+            for k in ("convz1", "convr1", "convq1", "convz2", "convr2", "convq2")
+        },
+        "flow_head": {
+            "conv1": torch_conv(sd, f"{prefix}.flow_head.conv1"),
+            "conv2": torch_conv(sd, f"{prefix}.flow_head.conv2"),
+        },
+        "mask_conv1": torch_conv(sd, f"{prefix}.mask.0"),
+        "mask_conv2": torch_conv(sd, f"{prefix}.mask.2"),
+    }
+
+
+def raft_params_from_state(sd: Mapping[str, Any]) -> dict:
+    """Full RAFT state dict (`raft.py:24-56`, `module.` already stripped)."""
+    return {
+        "fnet": basic_encoder_params(sd, "fnet", "instance"),
+        "cnet": basic_encoder_params(sd, "cnet", "batch"),
+        "update_block": raft_update_block_params(sd),
+    }
+
+
+def raft_params_from_checkpoint(path: str) -> dict:
+    return raft_params_from_state(load_torch_state(path))

@@ -1,0 +1,99 @@
+"""Shared NN building blocks for the RAFT-family models (NHWC, eval-mode).
+
+Covers the reference's `models/raft/extractor.py` (ResidualBlock /
+BasicEncoder) and its normalization flavors. All models in this zoo are
+*frozen* at attack time (`attack_PCFA.py:647-650`), so normalization layers
+are implemented in their eval-mode form:
+
+* BatchNorm → `FrozenBatchNorm`: per-channel affine `x·scale + bias` with the
+  running statistics folded in at weight-conversion time (zero runtime cost,
+  fuses into the preceding conv under XLA).
+* InstanceNorm (torch affine=False) → parameter-free per-sample/channel
+  normalization over H,W with biased variance, eps=1e-5.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def tconv(features: int, kernel_size: tuple[int, int], strides: int = 1,
+          name: str | None = None) -> nn.Conv:
+    """`nn.Conv` with torch-style symmetric padding (k//2 per side).
+
+    Flax 'SAME' pads asymmetrically for strided layers (lo=2/hi=3 for k=7,
+    s=2) while torch's Conv2d(padding=k//2) is symmetric — the difference
+    shifts every strided feature map by a pixel."""
+    pad = [(k // 2, k // 2) for k in kernel_size]
+    return nn.Conv(features, kernel_size, strides=strides, padding=pad,
+                   name=name)
+
+
+class FrozenBatchNorm(nn.Module):
+    """Eval-mode BatchNorm as a learned-constant affine transform."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return x * scale + bias
+
+
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """torch `nn.InstanceNorm2d` (affine=False, eval == train) on NHWC."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    return (x - mean) / jnp.sqrt(var + eps)
+
+
+def make_norm(norm_fn: str, features: int, name: str):
+    """Returns a callable applying the requested normalization."""
+    if norm_fn == "batch":
+        bn = FrozenBatchNorm(features, name=name)
+        return bn
+    if norm_fn == "instance":
+        return instance_norm
+    if norm_fn == "none":
+        return lambda x: x
+    raise ValueError(f"unsupported norm_fn: {norm_fn}")
+
+
+class ResidualBlock(nn.Module):
+    """`extractor.py:6-56`: two 3×3 convs + norm + ReLU, optional strided
+    downsample shortcut (1×1 conv + norm)."""
+
+    planes: int
+    norm_fn: str = "instance"
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = tconv(self.planes, (3, 3), strides=self.stride, name="conv1")(x)
+        y = nn.relu(make_norm(self.norm_fn, self.planes, "norm1")(y))
+        y = tconv(self.planes, (3, 3), name="conv2")(y)
+        y = nn.relu(make_norm(self.norm_fn, self.planes, "norm2")(y))
+        if self.stride != 1:
+            x = tconv(self.planes, (1, 1), strides=self.stride,
+                        name="downsample")(x)
+            x = make_norm(self.norm_fn, self.planes, "norm3")(x)
+        return nn.relu(x + y)
+
+
+class BasicEncoder(nn.Module):
+    """`extractor.py:118-192`: 7×7/2 stem + 3 residual stages (64, 96, 128,
+    strides 1/2/2) + 1×1 output conv → ÷8 feature map."""
+
+    output_dim: int = 256
+    norm_fn: str = "instance"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = tconv(64, (7, 7), strides=2, name="conv1")(x)
+        x = nn.relu(make_norm(self.norm_fn, 64, "norm1")(x))
+        for i, (dim, stride) in enumerate(((64, 1), (96, 2), (128, 2)), 1):
+            x = ResidualBlock(dim, self.norm_fn, stride, name=f"layer{i}_0")(x)
+            x = ResidualBlock(dim, self.norm_fn, 1, name=f"layer{i}_1")(x)
+        return tconv(self.output_dim, (1, 1), name="conv2")(x)

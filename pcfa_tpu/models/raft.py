@@ -1,0 +1,176 @@
+"""RAFT in Flax/JAX — recurrent all-pairs field transforms (north-star model).
+
+TPU-first rebuild of the behavior of `models/raft/{raft,extractor,update,
+corr}.py`: NHWC layout, the all-pairs correlation volume as one XLA matmul
+(MXU), the iterative GRU refinement as a `lax.scan` with optional
+rematerialization (`jax.checkpoint`) so L-BFGS can differentiate through all
+iterations without exhausting HBM.
+
+Faithful semantics:
+* inputs normalized to [-1,1] (`raft.py:89-90`; we take unit [0,1] input per
+  the zoo contract, so the transform is `2x-1`)
+* fnet = BasicEncoder(256, instance-norm), cnet = BasicEncoder(256, batch
+  norm) split 128/128 into tanh(net)/relu(inp) (`raft.py:54-56,110-114`)
+* 4-level correlation pyramid of ⟨f1,f2⟩/√256 with radius-4 bilinear window
+  lookup, including the reference's transposed (dy↔dx) window-offset quirk
+  (`corr.py:12-60`, see `ops/correlation.py`)
+* `coords1` detached at every iteration (`raft.py:123`) → `stop_gradient`,
+  which matters for attack-gradient parity
+* convex-combination 8× upsampling with 0.25-scaled mask logits
+  (`raft.py:72-83`, `update.py:135`)
+* `test_mode` pair (flow_lowres, flow_up) returned as a tuple
+  (`raft.py:141-142`)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pcfa_tpu.models.layers import BasicEncoder, tconv
+from pcfa_tpu.ops.correlation import allpairs_correlation, corr_lookup, corr_pyramid
+from pcfa_tpu.ops.warp import coords_grid
+
+
+class FlowHead(nn.Module):
+    """`update.py:6-14`."""
+
+    hidden_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(tconv(self.hidden_dim, (3, 3), name="conv1")(x))
+        return tconv(2, (3, 3), name="conv2")(x)
+
+
+class SepConvGRU(nn.Module):
+    """`update.py:33-60`: horizontal (1×5) then vertical (5×1) GRU passes."""
+
+    hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, h, x):
+        for suffix, ksize in (("1", (1, 5)), ("2", (5, 1))):
+            hx = jnp.concatenate([h, x], axis=-1)
+            z = nn.sigmoid(tconv(self.hidden_dim, ksize, name=f"convz{suffix}")(hx))
+            r = nn.sigmoid(tconv(self.hidden_dim, ksize, name=f"convr{suffix}")(hx))
+            rhx = jnp.concatenate([r * h, x], axis=-1)
+            q = nn.tanh(tconv(self.hidden_dim, ksize, name=f"convq{suffix}")(rhx))
+            h = (1 - z) * h + z * q
+        return h
+
+
+class BasicMotionEncoder(nn.Module):
+    """`update.py:79-97`."""
+
+    @nn.compact
+    def __call__(self, flow, corr):
+        cor = nn.relu(tconv(256, (1, 1), name="convc1")(corr))
+        cor = nn.relu(tconv(192, (3, 3), name="convc2")(cor))
+        flo = nn.relu(tconv(128, (7, 7), name="convf1")(flow))
+        flo = nn.relu(tconv(64, (3, 3), name="convf2")(flo))
+        out = nn.relu(
+            tconv(126, (3, 3), name="conv")(jnp.concatenate([cor, flo], -1))
+        )
+        return jnp.concatenate([out, flow], axis=-1)
+
+
+class BasicUpdateBlock(nn.Module):
+    """`update.py:114-136`: motion encoder → SepConvGRU → flow head + mask."""
+
+    hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, net, inp, corr, flow):
+        motion = BasicMotionEncoder(name="encoder")(flow, corr)
+        gru_in = jnp.concatenate([inp, motion], axis=-1)
+        net = SepConvGRU(self.hidden_dim, name="gru")(net, gru_in)
+        delta_flow = FlowHead(256, name="flow_head")(net)
+        m = nn.relu(tconv(256, (3, 3), name="mask_conv1")(net))
+        mask = 0.25 * tconv(64 * 9, (1, 1), name="mask_conv2")(m)
+        return net, mask, delta_flow
+
+
+def upsample_flow_convex(flow: jnp.ndarray, mask: jnp.ndarray, factor: int = 8):
+    """Convex-combination upsampling (`raft.py:72-83`), NHWC.
+
+    flow: (B, H, W, 2); mask: (B, H, W, 9·factor²) with torch channel order
+    c = (k·factor + i)·factor + j (k = 3×3 neighbor row-major, i,j subpixel).
+    """
+    B, H, W, _ = flow.shape
+    f = factor
+    mask = mask.reshape(B, H, W, 9, f, f)
+    mask = jax.nn.softmax(mask, axis=3)
+
+    fp = jnp.pad(factor * flow, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    neighbors = jnp.stack(
+        [
+            jax.lax.dynamic_slice(fp, (0, dy, dx, 0), (B, H, W, 2))
+            for dy in range(3)
+            for dx in range(3)
+        ],
+        axis=3,
+    )  # (B, H, W, 9, 2) — k row-major like F.unfold
+
+    up = jnp.einsum(
+        "bhwkij,bhwkc->bhwijc", mask, neighbors,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    up = up.transpose(0, 1, 3, 2, 4, 5)  # (B, H, i, W, j, C)
+    return up.reshape(B, f * H, f * W, 2)
+
+
+class RAFT(nn.Module):
+    """Full-size RAFT (`raft_config.json`: small=false). Unit-range inputs.
+
+    Returns (flow_lowres, flow_up) like `test_mode=True` (`raft.py:141-142`).
+    """
+
+    iters: int = 12
+    corr_levels: int = 4
+    corr_radius: int = 4
+    hidden_dim: int = 128
+    context_dim: int = 128
+    #: remat the per-iteration update to bound autodiff memory
+    remat: bool = True
+
+    @nn.compact
+    def __call__(self, image1: jnp.ndarray, image2: jnp.ndarray):
+        x1 = 2.0 * image1 - 1.0
+        x2 = 2.0 * image2 - 1.0
+
+        fnet = BasicEncoder(output_dim=256, norm_fn="instance", name="fnet")
+        # batched like the reference's fnet([image1, image2]) — one pass
+        fmaps = fnet(jnp.concatenate([x1, x2], axis=0))
+        fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
+
+        corr_vol = allpairs_correlation(fmap1, fmap2)
+        pyramid = corr_pyramid(corr_vol, self.corr_levels)
+
+        cnet = BasicEncoder(output_dim=self.hidden_dim + self.context_dim,
+                            norm_fn="batch", name="cnet")(x1)
+        net, inp = jnp.split(cnet, [self.hidden_dim], axis=-1)
+        net = jnp.tanh(net)
+        inp = nn.relu(inp)
+
+        B, H8, W8, _ = net.shape
+        coords0 = coords_grid(B, H8, W8)
+        coords1 = coords_grid(B, H8, W8)
+
+        block_cls = nn.remat(BasicUpdateBlock) if self.remat else BasicUpdateBlock
+        update_block = block_cls(self.hidden_dim, name="update_block")
+
+        up_mask = None
+        for _ in range(self.iters):
+            coords1 = jax.lax.stop_gradient(coords1)  # raft.py:123
+            corr = corr_lookup(pyramid, coords1, self.corr_radius)
+            flow = coords1 - coords0
+            net, up_mask, delta_flow = update_block(net, inp, corr, flow)
+            coords1 = coords1 + delta_flow
+
+        flow_lr = coords1 - coords0
+        flow_up = upsample_flow_convex(flow_lr, up_mask)
+        return flow_lr, flow_up

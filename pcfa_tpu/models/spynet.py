@@ -25,6 +25,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
+from pcfa_tpu.models.layers import tconv
 from pcfa_tpu.ops.warp import avg_pool2d, grid_sample, interpolate_bilinear
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
@@ -58,8 +59,8 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i, feat in enumerate((32, 64, 32, 16)):
-            x = nn.relu(nn.Conv(feat, (7, 7), name=f"conv{i}")(x))
-        return nn.Conv(2, (7, 7), name="conv4")(x)
+            x = nn.relu(tconv(feat, (7, 7), name=f"conv{i}")(x))
+        return tconv(2, (7, 7), name="conv4")(x)
 
 
 class SpyNet(nn.Module):

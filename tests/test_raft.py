@@ -1,0 +1,108 @@
+"""RAFT parity: Flax RAFT vs the reference torch implementation as oracle.
+
+The reference RAFT (`/root/reference/models/raft/`) is pure torch (no CUDA
+extensions), so we import it directly, run it with random weights in eval
+mode, convert the state dict, and compare forward outputs (SURVEY.md §4
+item 2). No reference code is copied — it is exercised as a black box.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from pcfa_tpu.models import make_model
+from pcfa_tpu.models.convert import raft_params_from_state, load_torch_state
+
+REF = "/root/reference"
+
+H, W = 128, 128  # coarsest corr level must be ≥2×2 (grid normalization divides by W-1)
+ITERS = 3
+
+
+@pytest.fixture(scope="module")
+def torch_raft():
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from models.raft.raft import RAFT as TorchRAFT
+
+    cfg = {"small": False, "mixed_precision": False, "dropout": 0,
+           "alternate_corr": False}
+    torch.manual_seed(0)
+    model = TorchRAFT(cfg)
+    # random-init RAFT diverges over iterations (delta_flow explodes);
+    # damp the flow head so the recurrent oracle stays finite
+    with torch.no_grad():
+        model.update_block.flow_head.conv2.weight *= 0.01
+        model.update_block.flow_head.conv2.bias *= 0.01
+    model.eval()
+    return model
+
+
+def test_raft_matches_reference(torch_raft):
+    rng = np.random.default_rng(0)
+    i1 = (rng.random((1, 3, H, W)) * 255).astype(np.float32)
+    i2 = (rng.random((1, 3, H, W)) * 255).astype(np.float32)
+
+    with torch.no_grad():
+        flow_lr_t, flow_up_t = torch_raft(
+            torch.from_numpy(i1), torch.from_numpy(i2),
+            iters=ITERS, test_mode=True,
+        )
+
+    sd = {k: v.numpy() for k, v in torch_raft.state_dict().items()
+          if "num_batches_tracked" not in k}
+    params = raft_params_from_state(sd)
+
+    model, _ = make_model("RAFT", iters=ITERS)
+    flow_lr, flow_up = model.apply(
+        {"params": params},
+        jnp.asarray(i1.transpose(0, 2, 3, 1) / 255.0),
+        jnp.asarray(i2.transpose(0, 2, 3, 1) / 255.0),
+    )
+
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(flow_lr), (0, 3, 1, 2)),
+        flow_lr_t.numpy(), rtol=1e-3, atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(flow_up), (0, 3, 1, 2)),
+        flow_up_t.numpy(), rtol=1e-3, atol=1e-3,
+    )
+
+
+def test_raft_param_tree_matches_init(torch_raft):
+    sd = {k: v.numpy() for k, v in torch_raft.state_dict().items()
+          if "num_batches_tracked" not in k}
+    conv = raft_params_from_state(sd)
+
+    model, _ = make_model("RAFT", iters=1)
+    x = jnp.zeros((1, 32, 32, 3))
+    init = model.init(jax.random.PRNGKey(0), x, x)["params"]
+    assert jax.tree.map(np.shape, init) == jax.tree.map(np.shape, conv)
+
+
+def test_raft_input_gradients_flow(torch_raft):
+    """Attack requirement: gradients wrt inputs through the whole net,
+    including the stop_gradient on coords1 (`raft.py:123`)."""
+    sd = {k: v.numpy() for k, v in torch_raft.state_dict().items()
+          if "num_batches_tracked" not in k}
+    params = raft_params_from_state(sd)
+    model, _ = make_model("RAFT", iters=2)
+
+    rng = np.random.default_rng(1)
+    i1 = jnp.asarray(rng.random((1, H, W, 3)), jnp.float32)
+    i2 = jnp.asarray(rng.random((1, H, W, 3)), jnp.float32)
+
+    def loss(x1, x2):
+        _, up = model.apply({"params": params}, x1, x2)
+        return jnp.mean(up**2)
+
+    g1, g2 = jax.grad(loss, argnums=(0, 1))(i1, i2)
+    assert np.isfinite(np.asarray(g1)).all()
+    assert float(jnp.abs(g1).max()) > 0
+    assert float(jnp.abs(g2).max()) > 0
