@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pcfa_tpu.models.spec import ModelSpec, available_models, get_spec, register
 from pcfa_tpu.models import convert
+from pcfa_tpu.models.gma import GMA
 from pcfa_tpu.models.raft import RAFT
 from pcfa_tpu.models.spynet import SpyNet
 
@@ -18,6 +19,17 @@ register(
         make=SpyNet,
         convert=convert.spynet_params_from_files,
         defaults={"nlevels": 6},
+    )
+)
+
+register(
+    ModelSpec(
+        name="GMA",
+        pad_divisor=8,
+        iters=6,  # the adapter calls GMA with iters=6 (`ownutilities.py:327`)
+        make=GMA,
+        convert=convert.gma_params_from_checkpoint,
+        defaults={"iters": 6},
     )
 )
 

@@ -186,3 +186,31 @@ def raft_params_from_state(sd: Mapping[str, Any]) -> dict:
 
 def raft_params_from_checkpoint(path: str) -> dict:
     return raft_params_from_state(load_torch_state(path))
+
+
+# ------------------------------------------------------------------- GMA ---
+
+def gma_params_from_state(sd: Mapping[str, Any]) -> dict:
+    """RAFT-GMA state dict (`network.py:26-43`) → flax tree.
+
+    The relative-positional embedding tables (`att.pos_emb.*`) are dead
+    weights under the shipped config (content-only attention) and skipped."""
+    update = raft_update_block_params(sd)
+    update["aggregator"] = {
+        "to_v": {"kernel": conv_kernel(sd["update_block.aggregator.to_v.weight"])},
+        "gamma": _to_numpy(sd["update_block.aggregator.gamma"]),
+    }
+    if "update_block.aggregator.project.weight" in sd:
+        update["aggregator"]["project"] = {
+            "kernel": conv_kernel(sd["update_block.aggregator.project.weight"])
+        }
+    return {
+        "fnet": basic_encoder_params(sd, "fnet", "instance"),
+        "cnet": basic_encoder_params(sd, "cnet", "batch"),
+        "update_block": update,
+        "att": {"to_qk": {"kernel": conv_kernel(sd["att.to_qk.weight"])}},
+    }
+
+
+def gma_params_from_checkpoint(path: str) -> dict:
+    return gma_params_from_state(load_torch_state(path))

@@ -1,0 +1,161 @@
+"""GMA (RAFT + Global Motion Aggregation) in Flax.
+
+Rebuild of `models/gma/{network,gma,update}.py`; the encoders, correlation
+pyramid, GRU and upsampling are shared with our RAFT (the reference's
+extractor/corr files are byte-identical to RAFT's modulo whitespace).
+
+GMA specifics (shipped config `gma_config.json`: num_heads=1,
+position_only=false, position_and_content=false):
+* `Attention` (`gma.py:34-76`): 1×1 conv (no bias) → Q,K; content-only
+  similarity `softmax(scale·Q·Kᵀ)` over all HW/64 positions, computed ONCE
+  from the context features (`network.py:99`).
+* `Aggregate` (`gma.py:79-115`): V from motion features, attention-weighted
+  sum, residual with learned scalar gain γ (init 0), no projection when
+  dim == inner_dim.
+* `GMAUpdateBlock` (`update.py:112-139`): GRU input = [inp, motion,
+  motion_global] (384 ch + 128 hidden).
+* The adapter drives GMA with `iters=6` (`ownutilities.py:327`).
+
+The relative-positional-embedding tables (`gma.py:6-31`) exist in shipped
+checkpoints but are dead weights under the shipped config; the converter
+skips them.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pcfa_tpu.models.layers import BasicEncoder
+from pcfa_tpu.models.raft import (
+    BasicMotionEncoder,
+    FlowHead,
+    SepConvGRU,
+    upsample_flow_convex,
+)
+from pcfa_tpu.ops.correlation import allpairs_correlation, corr_lookup, corr_pyramid
+from pcfa_tpu.ops.warp import coords_grid
+
+
+class Attention(nn.Module):
+    """Content-only global attention over feature positions (`gma.py:34-76`)."""
+
+    heads: int = 1
+    dim_head: int = 128
+
+    @nn.compact
+    def __call__(self, fmap: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, _ = fmap.shape
+        inner = self.heads * self.dim_head
+        qk = nn.Conv(2 * inner, (1, 1), use_bias=False, name="to_qk")(fmap)
+        q, k = jnp.split(qk, 2, axis=-1)
+        q = q.reshape(B, H * W, self.heads, self.dim_head) * self.dim_head**-0.5
+        k = k.reshape(B, H * W, self.heads, self.dim_head)
+        sim = jnp.einsum(
+            "bnhd,bmhd->bhnm", q, k, precision=jax.lax.Precision.HIGHEST
+        )
+        return jax.nn.softmax(sim, axis=-1)  # (B, heads, HW, HW)
+
+
+class Aggregate(nn.Module):
+    """Attention-weighted aggregation with residual gain γ (`gma.py:79-115`)."""
+
+    heads: int = 1
+    dim_head: int = 128
+    dim: int = 128
+
+    @nn.compact
+    def __call__(self, attn: jnp.ndarray, fmap: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = fmap.shape
+        inner = self.heads * self.dim_head
+        v = nn.Conv(inner, (1, 1), use_bias=False, name="to_v")(fmap)
+        v = v.reshape(B, H * W, self.heads, self.dim_head)
+        out = jnp.einsum(
+            "bhnm,bmhd->bnhd", attn, v, precision=jax.lax.Precision.HIGHEST
+        )
+        out = out.reshape(B, H, W, inner)
+        if self.dim != inner:
+            out = nn.Conv(self.dim, (1, 1), use_bias=False, name="project")(out)
+        gamma = self.param("gamma", nn.initializers.zeros, (1,))
+        return fmap + gamma * out
+
+
+class GMAUpdateBlock(nn.Module):
+    """`update.py:112-139`."""
+
+    hidden_dim: int = 128
+    heads: int = 1
+
+    @nn.compact
+    def __call__(self, net, inp, corr, flow, attention):
+        from pcfa_tpu.models.layers import tconv
+
+        motion = BasicMotionEncoder(name="encoder")(flow, corr)
+        motion_global = Aggregate(
+            heads=self.heads, dim_head=128, dim=128, name="aggregator"
+        )(attention, motion)
+        gru_in = jnp.concatenate([inp, motion, motion_global], axis=-1)
+        net = SepConvGRU(self.hidden_dim, name="gru")(net, gru_in)
+        delta_flow = FlowHead(256, name="flow_head")(net)
+        m = nn.relu(tconv(256, (3, 3), name="mask_conv1")(net))
+        mask = 0.25 * tconv(64 * 9, (1, 1), name="mask_conv2")(m)
+        return net, mask, delta_flow
+
+
+class GMA(nn.Module):
+    """RAFT-GMA (`network.py:26-129`), unit-range inputs, NHWC.
+
+    Returns (flow_lowres, flow_up) like `test_mode=True`."""
+
+    iters: int = 6
+    corr_levels: int = 4
+    corr_radius: int = 4
+    hidden_dim: int = 128
+    context_dim: int = 128
+    num_heads: int = 1
+    remat: bool = True
+
+    @nn.compact
+    def __call__(self, image1: jnp.ndarray, image2: jnp.ndarray):
+        x1 = 2.0 * image1 - 1.0
+        x2 = 2.0 * image2 - 1.0
+
+        fnet = BasicEncoder(output_dim=256, norm_fn="instance", name="fnet")
+        fmaps = fnet(jnp.concatenate([x1, x2], axis=0))
+        fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
+
+        pyramid = corr_pyramid(
+            allpairs_correlation(fmap1, fmap2), self.corr_levels
+        )
+
+        cnet = BasicEncoder(output_dim=self.hidden_dim + self.context_dim,
+                            norm_fn="batch", name="cnet")(x1)
+        net, inp = jnp.split(cnet, [self.hidden_dim], axis=-1)
+        net = jnp.tanh(net)
+        inp = nn.relu(inp)
+
+        attention = Attention(
+            heads=self.num_heads, dim_head=self.context_dim, name="att"
+        )(inp)
+
+        B, H8, W8, _ = net.shape
+        coords0 = coords_grid(B, H8, W8)
+        coords1 = coords_grid(B, H8, W8)
+
+        block_cls = nn.remat(GMAUpdateBlock) if self.remat else GMAUpdateBlock
+        update_block = block_cls(self.hidden_dim, self.num_heads,
+                                 name="update_block")
+
+        up_mask = None
+        for _ in range(self.iters):
+            coords1 = jax.lax.stop_gradient(coords1)  # network.py:108
+            corr = corr_lookup(pyramid, coords1, self.corr_radius)
+            flow = coords1 - coords0
+            net, up_mask, delta_flow = update_block(net, inp, corr, flow,
+                                                    attention)
+            coords1 = coords1 + delta_flow
+
+        flow_lr = coords1 - coords0
+        flow_up = upsample_flow_convex(flow_lr, up_mask)
+        return flow_lr, flow_up

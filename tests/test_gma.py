@@ -1,0 +1,79 @@
+"""GMA parity vs the reference torch implementation (black-box oracle)."""
+
+import sys
+from argparse import Namespace
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from pcfa_tpu.models import make_model
+from pcfa_tpu.models.convert import gma_params_from_state
+
+REF = "/root/reference"
+
+H, W = 128, 128
+ITERS = 2
+
+
+@pytest.fixture(scope="module")
+def torch_gma():
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from models.gma.network import RAFTGMA
+
+    cfg = Namespace(
+        num_heads=1, mixed_precision=False, position_only=False,
+        position_and_content=False, dropout=0,
+    )
+    torch.manual_seed(0)
+    model = RAFTGMA(cfg)
+    with torch.no_grad():
+        model.update_block.flow_head.conv2.weight *= 0.01
+        model.update_block.flow_head.conv2.bias *= 0.01
+    model.eval()
+    return model
+
+
+def _params(torch_gma):
+    sd = {k: v.numpy() for k, v in torch_gma.state_dict().items()
+          if "num_batches_tracked" not in k}
+    return gma_params_from_state(sd)
+
+
+def test_gma_matches_reference(torch_gma):
+    rng = np.random.default_rng(0)
+    i1 = (rng.random((1, 3, H, W)) * 255).astype(np.float32)
+    i2 = (rng.random((1, 3, H, W)) * 255).astype(np.float32)
+
+    with torch.no_grad():
+        lr_t, up_t = torch_gma(
+            torch.from_numpy(i1), torch.from_numpy(i2),
+            iters=ITERS, test_mode=True,
+        )
+
+    model, _ = make_model("GMA", iters=ITERS)
+    lr, up = model.apply(
+        {"params": _params(torch_gma)},
+        jnp.asarray(i1.transpose(0, 2, 3, 1) / 255.0),
+        jnp.asarray(i2.transpose(0, 2, 3, 1) / 255.0),
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(lr), (0, 3, 1, 2)), lr_t.numpy(),
+        rtol=1e-3, atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(up), (0, 3, 1, 2)), up_t.numpy(),
+        rtol=1e-3, atol=1e-3,
+    )
+
+
+def test_gma_param_tree_matches_init(torch_gma):
+    model, _ = make_model("GMA", iters=1)
+    x = jnp.zeros((1, 32, 32, 3))
+    init = model.init(jax.random.PRNGKey(0), x, x)["params"]
+    conv = _params(torch_gma)
+    assert jax.tree.map(np.shape, init) == jax.tree.map(np.shape, conv)
