@@ -9,6 +9,7 @@ from __future__ import annotations
 from pcfa_tpu.models.spec import ModelSpec, available_models, get_spec, register
 from pcfa_tpu.models import convert
 from pcfa_tpu.models.gma import GMA
+from pcfa_tpu.models.pwcnet import PWCDCNet
 from pcfa_tpu.models.raft import RAFT
 from pcfa_tpu.models.spynet import SpyNet
 
@@ -30,6 +31,15 @@ register(
         make=GMA,
         convert=convert.gma_params_from_checkpoint,
         defaults={"iters": 6},
+    )
+)
+
+register(
+    ModelSpec(
+        name="PWCNet",
+        pad_divisor=64,
+        make=PWCDCNet,
+        convert=convert.pwcnet_params_from_checkpoint,
     )
 )
 

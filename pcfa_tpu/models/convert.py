@@ -214,3 +214,34 @@ def gma_params_from_state(sd: Mapping[str, Any]) -> dict:
 
 def gma_params_from_checkpoint(path: str) -> dict:
     return gma_params_from_state(load_torch_state(path))
+
+
+# ---------------------------------------------------------------- PWCNet ---
+
+def pwcnet_params_from_state(sd: Mapping[str, Any]) -> dict:
+    """`PWCDCNet` state dict (`PWCNet.py:60-164`) → flax tree.
+
+    Key families: `conv*.0.*` (Conv+LeakyReLU Sequentials), `deconv*` /
+    `upfeat*` (ConvTranspose2d — kernels flipped for flax), `predict_flow*`
+    and `dc_conv7` (bare convs)."""
+    params: dict = {}
+    for k in sd:
+        if not k.endswith(".weight"):
+            continue
+        base = k[: -len(".weight")]
+        if base == "deconv2":
+            continue  # created but never used in forward (`PWCNet.py:147`)
+        if base.endswith(".0"):
+            params[base[:-2]] = {"0": torch_conv(sd, base)}
+        elif base.startswith(("deconv", "upfeat")):
+            params[base] = {
+                "kernel": conv_transpose_kernel(sd[k]),
+                "bias": _to_numpy(sd[f"{base}.bias"]),
+            }
+        else:
+            params[base] = torch_conv(sd, base)
+    return params
+
+
+def pwcnet_params_from_checkpoint(path: str) -> dict:
+    return pwcnet_params_from_state(load_torch_state(path))
