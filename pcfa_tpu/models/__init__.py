@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pcfa_tpu.models.spec import ModelSpec, available_models, get_spec, register
 from pcfa_tpu.models import convert
+from pcfa_tpu.models.flownet2 import FlowNet2
 from pcfa_tpu.models.gma import GMA
 from pcfa_tpu.models.pwcnet import PWCDCNet
 from pcfa_tpu.models.raft import RAFT
@@ -20,6 +21,15 @@ register(
         make=SpyNet,
         convert=convert.spynet_params_from_files,
         defaults={"nlevels": 6},
+    )
+)
+
+register(
+    ModelSpec(
+        name="FlowNet2",
+        pad_divisor=64,
+        make=FlowNet2,
+        convert=convert.flownet2_params_from_checkpoint,
     )
 )
 

@@ -245,3 +245,38 @@ def pwcnet_params_from_state(sd: Mapping[str, Any]) -> dict:
 
 def pwcnet_params_from_checkpoint(path: str) -> dict:
     return pwcnet_params_from_state(load_torch_state(path))
+
+
+# -------------------------------------------------------------- FlowNet2 ---
+
+def flownet2_params_from_state(sd: Mapping[str, Any]) -> dict:
+    """FlowNet2 cascade state dict (`FlowNet2.py:23-96`) → flax tree.
+
+    Key families per sub-net (flownetc / flownets_1 / flownets_2 /
+    flownets_d / flownetfusion): `*.0.*` Sequentials (conv / deconv /
+    i_conv), bare `predict_flow*` convs, bare `upsampled_flow*`
+    ConvTranspose2d. Transposed-conv kernels are flipped for flax."""
+    params: dict = {}
+    for k in sd:
+        if not k.endswith(".weight"):
+            continue
+        base = k[: -len(".weight")]
+        parts = base.split(".")
+        net, layer = parts[0], parts[1]
+        transposed = layer.startswith(("deconv", "upsampled_flow"))
+        leaf = {
+            "kernel": conv_transpose_kernel(sd[k]) if transposed
+            else conv_kernel(sd[k])
+        }
+        if f"{base}.bias" in sd:
+            leaf["bias"] = _to_numpy(sd[f"{base}.bias"])
+        node = params.setdefault(net, {})
+        if parts[-1] == "0":
+            node.setdefault(layer, {})["0"] = leaf
+        else:
+            node[layer] = leaf
+    return params
+
+
+def flownet2_params_from_checkpoint(path: str) -> dict:
+    return flownet2_params_from_state(load_torch_state(path))

@@ -1,0 +1,327 @@
+"""FlowNet2 cascade in Flax — FlowNetC → S1 → S2 ∥ SD → Fusion.
+
+Rebuild of `models/FlowNet/{FlowNet2,FlowNetC,FlowNetS,FlowNetSD,
+FlowNetFusion,submodules}.py` with the three CUDA extensions replaced by
+XLA-native ops:
+
+* `correlation_cuda` (max_displacement=20, stride2=2, 441 ch, zero pad,
+  /C normalization, dy-major channel order — `correlation_cuda_kernel.cu:
+  85-135`) → `ops.global_correlation`.
+* `resample2d_cuda` (bilinear warp, per-corner border clamp —
+  `resample2d_kernel.cu:16-74`) → `resample2d` below; autodiff supplies
+  both backward kernels the reference hand-writes.
+* `channelnorm_cuda` (per-pixel L2 over channels) → `ops.channelnorm`.
+
+Faithful structure (batchNorm=False config, `ownutilities.py:155`):
+mean-RGB subtraction over both frames + ÷rgb_max (`FlowNet2.py:114-116`;
+with our unit-scale inputs this is `u - mean(u)`), div_flow=20 flow scaling
+between stages (`FlowNet2.py:123,135,147,160`), bilinear ×4 upsampling for
+C/S1 flows and *nearest* ×4 for S2/SD flows (`FlowNet2.py:36,48,63-64`).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from pcfa_tpu.ops.channelnorm import channel_norm as channelnorm
+from pcfa_tpu.ops.correlation import global_correlation
+from pcfa_tpu.ops.warp import interpolate_bilinear
+
+
+def _leaky(x):
+    return nn.leaky_relu(x, 0.1)
+
+
+class CL(nn.Module):
+    """`submodules.conv` (no-BN branch): Conv(bias) + LeakyReLU(0.1)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        p = (self.kernel - 1) // 2
+        return _leaky(
+            nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=self.stride, padding=[(p, p), (p, p)],
+                    name="0")(x)
+        )
+
+
+class IConv(nn.Module):
+    """`submodules.i_conv`: conv without activation (Sequential of one)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
+                       name="0")(x)
+
+
+class Deconv(nn.Module):
+    """`submodules.deconv`: ConvTranspose2d(4,2,1) + LeakyReLU(0.1)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        return _leaky(
+            nn.ConvTranspose(self.features, (4, 4), strides=(2, 2),
+                             padding="SAME", name="0")(x)
+        )
+
+
+def upflow_deconv(features: int, use_bias: bool, name: str):
+    """Bare `ConvTranspose2d(2, 2, 4, 2, 1)` flow upsampler."""
+    return nn.ConvTranspose(features, (4, 4), strides=(2, 2), padding="SAME",
+                            use_bias=use_bias, name=name)
+
+
+def predict_flow(name: str):
+    return nn.Conv(2, (3, 3), padding=[(1, 1), (1, 1)], name=name)
+
+
+def resample2d(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """`resample2d_kernel.cu:16-74`: out(x,y) = bilinear(img at (x+u, y+v)),
+    corner indices clamped to borders, weights from the unclamped fracs."""
+    B, H, W, C = img.shape
+    xs = jnp.arange(W, dtype=img.dtype)
+    ys = jnp.arange(H, dtype=img.dtype)
+    gx = xs[None, None, :] + flow[..., 0]
+    gy = ys[None, :, None] + flow[..., 1]
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    a = (gx - x0)[..., None]
+    b = (gy - y0)[..., None]
+
+    flat = img.reshape(B, H * W, C)
+
+    def gather(yc, xc):
+        yc = jnp.clip(yc, 0, H - 1).astype(jnp.int32)
+        xc = jnp.clip(xc, 0, W - 1).astype(jnp.int32)
+        idx = (yc * W + xc).reshape(B, -1, 1)
+        return jnp.take_along_axis(flat, idx, axis=1).reshape(B, H, W, C)
+
+    return (
+        (1 - a) * (1 - b) * gather(y0, x0)
+        + a * (1 - b) * gather(y0, x0 + 1)
+        + (1 - a) * b * gather(y0 + 1, x0)
+        + a * b * gather(y0 + 1, x0 + 1)
+    )
+
+
+def upsample_nearest4(x: jnp.ndarray) -> jnp.ndarray:
+    """torch nn.Upsample(scale_factor=4, mode='nearest')."""
+    return x.repeat(4, axis=1).repeat(4, axis=2)
+
+
+class FlowNetC(nn.Module):
+    """`FlowNetC.py:13-128` (batchNorm=False). Input: 6-ch stacked frames."""
+
+    @nn.compact
+    def __call__(self, x):
+        x1, x2 = x[..., :3], x[..., 3:]
+        conv1 = CL(64, 7, 2, name="conv1")
+        conv2 = CL(128, 5, 2, name="conv2")
+        conv3 = CL(256, 5, 2, name="conv3")
+
+        c1a = conv1(x1)
+        c2a = conv2(c1a)
+        c3a = conv3(c2a)
+        c3b = conv3(conv2(conv1(x2)))
+
+        corr = _leaky(global_correlation(c3a, c3b, 20, 2))
+        redir = CL(32, 1, name="conv_redir")(c3a)
+        x = CL(256, name="conv3_1")(jnp.concatenate([redir, corr], -1))
+
+        out_conv3_1 = x
+        out_conv4 = CL(512, name="conv4_1")(CL(512, 3, 2, name="conv4")(x))
+        out_conv5 = CL(512, name="conv5_1")(CL(512, 3, 2, name="conv5")(out_conv4))
+        out_conv6 = CL(1024, name="conv6_1")(CL(1024, 3, 2, name="conv6")(out_conv5))
+
+        flow6 = predict_flow("predict_flow6")(out_conv6)
+        flow6_up = upflow_deconv(2, True, "upsampled_flow6_to_5")(flow6)
+        out_deconv5 = Deconv(512, name="deconv5")(out_conv6)
+
+        concat5 = jnp.concatenate([out_conv5, out_deconv5, flow6_up], -1)
+        flow5 = predict_flow("predict_flow5")(concat5)
+        flow5_up = upflow_deconv(2, True, "upsampled_flow5_to_4")(flow5)
+        out_deconv4 = Deconv(256, name="deconv4")(concat5)
+        concat4 = jnp.concatenate([out_conv4, out_deconv4, flow5_up], -1)
+
+        flow4 = predict_flow("predict_flow4")(concat4)
+        flow4_up = upflow_deconv(2, True, "upsampled_flow4_to_3")(flow4)
+        out_deconv3 = Deconv(128, name="deconv3")(concat4)
+        concat3 = jnp.concatenate([out_conv3_1, out_deconv3, flow4_up], -1)
+
+        flow3 = predict_flow("predict_flow3")(concat3)
+        flow3_up = upflow_deconv(2, True, "upsampled_flow3_to_2")(flow3)
+        out_deconv2 = Deconv(64, name="deconv2")(concat3)
+        concat2 = jnp.concatenate([c2a, out_deconv2, flow3_up], -1)
+
+        return predict_flow("predict_flow2")(concat2)
+
+
+class FlowNetS(nn.Module):
+    """`FlowNetS.py:15-94` (batchNorm=False); 12-ch input in the cascade."""
+
+    @nn.compact
+    def __call__(self, x):
+        out_conv1 = CL(64, 7, 2, name="conv1")(x)
+        out_conv2 = CL(128, 5, 2, name="conv2")(out_conv1)
+        out_conv3 = CL(256, name="conv3_1")(CL(256, 5, 2, name="conv3")(out_conv2))
+        out_conv4 = CL(512, name="conv4_1")(CL(512, 3, 2, name="conv4")(out_conv3))
+        out_conv5 = CL(512, name="conv5_1")(CL(512, 3, 2, name="conv5")(out_conv4))
+        out_conv6 = CL(1024, name="conv6_1")(CL(1024, 3, 2, name="conv6")(out_conv5))
+
+        flow6 = predict_flow("predict_flow6")(out_conv6)
+        flow6_up = upflow_deconv(2, False, "upsampled_flow6_to_5")(flow6)
+        out_deconv5 = Deconv(512, name="deconv5")(out_conv6)
+
+        concat5 = jnp.concatenate([out_conv5, out_deconv5, flow6_up], -1)
+        flow5 = predict_flow("predict_flow5")(concat5)
+        flow5_up = upflow_deconv(2, False, "upsampled_flow5_to_4")(flow5)
+        out_deconv4 = Deconv(256, name="deconv4")(concat5)
+
+        concat4 = jnp.concatenate([out_conv4, out_deconv4, flow5_up], -1)
+        flow4 = predict_flow("predict_flow4")(concat4)
+        flow4_up = upflow_deconv(2, False, "upsampled_flow4_to_3")(flow4)
+        out_deconv3 = Deconv(128, name="deconv3")(concat4)
+
+        concat3 = jnp.concatenate([out_conv3, out_deconv3, flow4_up], -1)
+        flow3 = predict_flow("predict_flow3")(concat3)
+        flow3_up = upflow_deconv(2, False, "upsampled_flow3_to_2")(flow3)
+        out_deconv2 = Deconv(64, name="deconv2")(concat3)
+
+        concat2 = jnp.concatenate([out_conv2, out_deconv2, flow3_up], -1)
+        return predict_flow("predict_flow2")(concat2)
+
+
+class FlowNetSD(nn.Module):
+    """`FlowNetSD.py:11-106` (batchNorm=False); 6-ch input."""
+
+    @nn.compact
+    def __call__(self, x):
+        out_conv0 = CL(64, name="conv0")(x)
+        out_conv1 = CL(128, name="conv1_1")(CL(64, 3, 2, name="conv1")(out_conv0))
+        out_conv2 = CL(128, name="conv2_1")(CL(128, 3, 2, name="conv2")(out_conv1))
+        out_conv3 = CL(256, name="conv3_1")(CL(256, 3, 2, name="conv3")(out_conv2))
+        out_conv4 = CL(512, name="conv4_1")(CL(512, 3, 2, name="conv4")(out_conv3))
+        out_conv5 = CL(512, name="conv5_1")(CL(512, 3, 2, name="conv5")(out_conv4))
+        out_conv6 = CL(1024, name="conv6_1")(CL(1024, 3, 2, name="conv6")(out_conv5))
+
+        flow6 = predict_flow("predict_flow6")(out_conv6)
+        flow6_up = upflow_deconv(2, True, "upsampled_flow6_to_5")(flow6)
+        out_deconv5 = Deconv(512, name="deconv5")(out_conv6)
+
+        concat5 = jnp.concatenate([out_conv5, out_deconv5, flow6_up], -1)
+        inter5 = IConv(512, name="inter_conv5")(concat5)
+        flow5 = predict_flow("predict_flow5")(inter5)
+        flow5_up = upflow_deconv(2, True, "upsampled_flow5_to_4")(flow5)
+        out_deconv4 = Deconv(256, name="deconv4")(concat5)
+
+        concat4 = jnp.concatenate([out_conv4, out_deconv4, flow5_up], -1)
+        inter4 = IConv(256, name="inter_conv4")(concat4)
+        flow4 = predict_flow("predict_flow4")(inter4)
+        flow4_up = upflow_deconv(2, True, "upsampled_flow4_to_3")(flow4)
+        out_deconv3 = Deconv(128, name="deconv3")(concat4)
+
+        concat3 = jnp.concatenate([out_conv3, out_deconv3, flow4_up], -1)
+        inter3 = IConv(128, name="inter_conv3")(concat3)
+        flow3 = predict_flow("predict_flow3")(inter3)
+        flow3_up = upflow_deconv(2, True, "upsampled_flow3_to_2")(flow3)
+        out_deconv2 = Deconv(64, name="deconv2")(concat3)
+
+        concat2 = jnp.concatenate([out_conv2, out_deconv2, flow3_up], -1)
+        inter2 = IConv(64, name="inter_conv2")(concat2)
+        return predict_flow("predict_flow2")(inter2)
+
+
+class FlowNetFusion(nn.Module):
+    """`FlowNetFusion.py:11-66` (batchNorm=False); 11-ch input."""
+
+    @nn.compact
+    def __call__(self, x):
+        out_conv0 = CL(64, name="conv0")(x)
+        out_conv1 = CL(128, name="conv1_1")(CL(64, 3, 2, name="conv1")(out_conv0))
+        out_conv2 = CL(128, name="conv2_1")(CL(128, 3, 2, name="conv2")(out_conv1))
+
+        flow2 = predict_flow("predict_flow2")(out_conv2)
+        flow2_up = upflow_deconv(2, True, "upsampled_flow2_to_1")(flow2)
+        out_deconv1 = Deconv(32, name="deconv1")(out_conv2)
+
+        concat1 = jnp.concatenate([out_conv1, out_deconv1, flow2_up], -1)
+        inter1 = IConv(32, name="inter_conv1")(concat1)
+        flow1 = predict_flow("predict_flow1")(inter1)
+        flow1_up = upflow_deconv(2, True, "upsampled_flow1_to_0")(flow1)
+        out_deconv0 = Deconv(16, name="deconv0")(concat1)
+
+        concat0 = jnp.concatenate([out_conv0, out_deconv0, flow1_up], -1)
+        inter0 = IConv(16, name="inter_conv0")(concat0)
+        return predict_flow("predict_flow0")(inter0)
+
+
+class FlowNet2(nn.Module):
+    """`FlowNet2.py:23-178` (fp16=False, rgb_max=255, batchNorm=False,
+    div_flow=20). Takes unit-range (img1, img2) per the zoo contract —
+    equivalent to the reference's [0,255] stacked input after its
+    `(inputs - rgb_mean)/rgb_max` entry normalization."""
+
+    div_flow: float = 20.0
+
+    @nn.compact
+    def __call__(self, image1: jnp.ndarray, image2: jnp.ndarray) -> jnp.ndarray:
+        # per-sample/channel mean over BOTH frames (`FlowNet2.py:114-116`)
+        both = jnp.stack([image1, image2], axis=1)
+        rgb_mean = both.mean(axis=(1, 2, 3), keepdims=True)[:, 0]
+        x1 = image1 - rgb_mean
+        x2 = image2 - rgb_mean
+        x = jnp.concatenate([x1, x2], axis=-1)
+
+        # --- FlowNetC + warp/diff bootstrap ---------------------------------
+        flow_c2 = FlowNetC(name="flownetc")(x)
+        flow_c = interpolate_bilinear(
+            flow_c2 * self.div_flow,
+            (4 * flow_c2.shape[1], 4 * flow_c2.shape[2]),
+        )
+        warped1 = resample2d(x2, flow_c)
+        norm_diff = channelnorm(x1 - warped1)
+        concat1 = jnp.concatenate(
+            [x, warped1, flow_c / self.div_flow, norm_diff], axis=-1
+        )
+
+        # --- FlowNetS1 -------------------------------------------------------
+        flow_s1_2 = FlowNetS(name="flownets_1")(concat1)
+        flow_s1 = interpolate_bilinear(
+            flow_s1_2 * self.div_flow,
+            (4 * flow_s1_2.shape[1], 4 * flow_s1_2.shape[2]),
+        )
+        warped1 = resample2d(x2, flow_s1)
+        norm_diff = channelnorm(x1 - warped1)
+        concat2 = jnp.concatenate(
+            [x, warped1, flow_s1 / self.div_flow, norm_diff], axis=-1
+        )
+
+        # --- FlowNetS2 (nearest ×4, `FlowNet2.py:147`) -----------------------
+        flow_s2_2 = FlowNetS(name="flownets_2")(concat2)
+        flow_s2 = upsample_nearest4(flow_s2_2 * self.div_flow)
+        norm_flow_s2 = channelnorm(flow_s2)
+        diff_s2 = resample2d(x2, flow_s2)
+        diff_s2_img1 = channelnorm(x1 - diff_s2)
+
+        # --- FlowNetSD (÷div_flow + nearest ×4, `FlowNet2.py:159-160`) -------
+        flow_sd_2 = FlowNetSD(name="flownets_d")(x)
+        flow_sd = upsample_nearest4(flow_sd_2 / self.div_flow)
+        norm_flow_sd = channelnorm(flow_sd)
+        diff_sd = resample2d(x2, flow_sd)
+        diff_sd_img1 = channelnorm(x1 - diff_sd)
+
+        # --- Fusion ----------------------------------------------------------
+        concat3 = jnp.concatenate(
+            [x1, flow_sd, flow_s2, norm_flow_sd, norm_flow_s2,
+             diff_sd_img1, diff_s2_img1], axis=-1,
+        )
+        return FlowNetFusion(name="flownetfusion")(concat3)
