@@ -120,7 +120,15 @@ def prepare_dataloader(
         else:
             raise ValueError(f"The specified mode: {mode} is unknown.")
     elif dataset == "Synthetic":
-        ds = SyntheticDataset(num_samples=32, has_gt=(mode == "training"))
+        # smoke-run knobs: PCFA_SYNTHETIC_COUNT / PCFA_SYNTHETIC_SIZE=HxW
+        import os
+
+        count = int(os.environ.get("PCFA_SYNTHETIC_COUNT", 32))
+        size_s = os.environ.get("PCFA_SYNTHETIC_SIZE", "128x256")
+        h, w = (int(v) for v in size_s.split("x"))
+        ds = SyntheticDataset(
+            num_samples=count, size=(h, w), has_gt=(mode == "training")
+        )
     else:
         raise ValueError(
             f"Unknown dataset {dataset}, use 'Sintel', 'Kitti15' or 'Synthetic'."

@@ -1,0 +1,102 @@
+"""Model runtime: load a flow estimator and build the attack-facing flow_fn.
+
+Equivalent of the reference's `import_and_load` + `preprocess_img` +
+`compute_flow` + `postprocess_flow` pipeline (`ownutilities.py:64-343`),
+collapsed into two calls:
+
+    loaded = load_model("RAFT")                       # module + params + spec
+    padder, flow_fn = make_flow_fn(loaded, (H, W))    # jittable, unpadded out
+
+`flow_fn(x1, x2)` takes *padded* unit-range NHWC images and returns the
+unpadded flow — the exact quantity entering the attack loss. There is no
+`.cpu()` per forward (the reference syncs to host every prediction,
+`ownutilities.py:297`); results stay on device until the caller fetches them.
+
+Weights: looked up under `models/_pretrained_weights/` like the reference
+(`ownutilities.py:98-160`; same filenames, so the reference's download
+scripts populate us too). If absent, `load_model(..., init_random=True)`
+builds deterministic random params — used by tests and benchmarks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from pcfa_tpu.models import get_spec, make_model
+from pcfa_tpu.utils.padder import InputPadder
+
+#: default checkpoint locations, mirroring `ownutilities.py:98,113,130,154`
+#: and `SpyNet.py:78`
+WEIGHT_PATHS = {
+    "RAFT": "models/_pretrained_weights/raft-sintel.pth",
+    "GMA": "models/_pretrained_weights/gma-sintel.pth",
+    "PWCNet": "models/_pretrained_weights/pwc_net_chairs.pth.tar",
+    "FlowNet2": "models/_pretrained_weights/FlowNet2_checkpoint.pth.tar",
+    "SpyNet": "models/_pretrained_weights/spynet_weights",
+}
+
+
+@dataclasses.dataclass
+class LoadedModel:
+    name: str
+    module: object
+    params: dict
+    spec: object
+
+
+def load_model(
+    name: str,
+    checkpoint: str | None = None,
+    init_random: bool = False,
+    seed: int = 0,
+    **overrides,
+) -> LoadedModel:
+    """Build the Flax module for `name` and load converted torch weights.
+
+    `checkpoint`: explicit path (file, or weights dir for SpyNet). Falls back
+    to `WEIGHT_PATHS[name]`. With `init_random=True` missing weights are
+    replaced by deterministic random init instead of raising."""
+    module, spec = make_model(name, **overrides)
+    path = checkpoint or WEIGHT_PATHS.get(name)
+
+    if path and os.path.exists(path):
+        params = spec.convert(path)
+    elif init_random:
+        d = spec.pad_divisor
+        x = jnp.zeros((1, 2 * d, 2 * d, 3), jnp.float32)
+        params = module.init(jax.random.PRNGKey(seed), x, x)["params"]
+    else:
+        raise FileNotFoundError(
+            f"Loading the model failed, because the checkpoint path was "
+            f"invalid. Are the checkpoints placed in "
+            f"models/_pretrained_weights/? Consider executing the checkpoint "
+            f"loading script from scripts/load_all_weights.sh "
+            f"(missing: {path})"
+        )
+    return LoadedModel(name=name, module=module, params=params, spec=spec)
+
+
+def make_flow_fn(
+    loaded: LoadedModel, image_hw: tuple[int, int], pad_mode: str = "sintel"
+) -> tuple[InputPadder, Callable]:
+    """(padder, flow_fn) for images of spatial size `image_hw`.
+
+    flow_fn maps PADDED unit-range (B,H',W',3) pairs → UNPADDED (B,H,W,2)
+    flow; recurrent nets' (flow_lr, flow_up) tuples collapse to flow_up like
+    `compute_flow` (`ownutilities.py:323-327`)."""
+    H, W = image_hw
+    padder = InputPadder((H, W, 3), divisor=loaded.spec.pad_divisor,
+                         mode=pad_mode)
+
+    def flow_fn(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+        out = loaded.module.apply({"params": loaded.params}, x1, x2)
+        if isinstance(out, tuple):
+            out = out[-1]
+        return padder.unpad(out)
+
+    return padder, flow_fn
