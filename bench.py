@@ -1,0 +1,142 @@
+#!/usr/bin/env python3
+"""North-star benchmark: attacked frame-pairs/sec/chip (RAFT PCFA).
+
+Runs the full jitted PCFA optimization (steps=20, L-BFGS max_iter=10 — the
+reference's published config, `parsing_file.py:72-77`) on one KITTI-sized
+frame pair (375×1242 → padded 376×1248) against RAFT (12 update iterations),
+on whatever accelerator JAX finds, and prints ONE JSON line:
+
+    {"metric": ..., "value": pairs/sec/chip, "unit": ..., "vs_baseline": r}
+
+`vs_baseline` compares against the PyTorch reference on this machine's CPU
+(measured via the actual reference RAFT: 20.9 s per L-BFGS closure
+forward+backward at this shape, ≈220 closure evals per pair → 2.175e-4
+pairs/sec; see BASELINE.md "measured CPU baseline"). Re-measure with
+--measure-cpu.
+
+Env knobs: PCFA_BENCH_PRESET=smoke → tiny shapes/steps for CI smoke runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# measured on this machine (see module docstring / BASELINE.md)
+CPU_BASELINE_PAIRS_PER_SEC = 2.175e-4
+
+SMOKE = os.environ.get("PCFA_BENCH_PRESET") == "smoke"
+
+
+def measure_cpu_baseline(H: int, W: int, steps: int, max_iter: int) -> float:
+    """Pairs/sec of the torch reference RAFT PCFA closure on CPU."""
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from models.raft.raft import RAFT as TorchRAFT
+
+    cfg = {"small": False, "mixed_precision": False, "dropout": 0,
+           "alternate_corr": False}
+    torch.manual_seed(0)
+    m = TorchRAFT(cfg).eval()
+    for p in m.parameters():
+        p.requires_grad = False
+    rng = np.random.default_rng(0)
+    x1 = torch.from_numpy((rng.random((1, 3, H, W)) * 255).astype(np.float32))
+    x2 = torch.from_numpy((rng.random((1, 3, H, W)) * 255).astype(np.float32))
+    x1.requires_grad_(True)
+    x2.requires_grad_(True)
+
+    def closure_eval():
+        _, up = m(x1, x2, iters=12, test_mode=True)
+        up.pow(2).mean().backward()
+        x1.grad = None
+        x2.grad = None
+
+    closure_eval()  # warmup
+    t0 = time.perf_counter()
+    closure_eval()
+    per_eval = time.perf_counter() - t0
+    evals_per_pair = steps * (max_iter + 1)
+    return 1.0 / (per_eval * evals_per_pair)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--measure-cpu", action="store_true",
+                    help="re-measure the torch CPU baseline (slow)")
+    ap.add_argument("--pairs", type=int, default=1,
+                    help="number of timed attack runs")
+    args = ap.parse_args()
+
+    if SMOKE:
+        H, W, steps, max_iter, raft_iters = 128, 128, 2, 2, 2
+    else:
+        H, W, steps, max_iter, raft_iters = 376, 1248, 20, 10, 12
+
+    import jax
+    import jax.numpy as jnp
+
+    from pcfa_tpu.attack.pcfa import PCFAConfig, pcfa_attack
+    from pcfa_tpu.config import RuntimeConfig
+    from pcfa_tpu.models import make_model
+
+    RuntimeConfig().apply()
+    dev = jax.devices()[0]
+    print(f"# device: {dev.platform}:{dev.device_kind}", file=sys.stderr)
+
+    model, _ = make_model("RAFT", iters=raft_iters)
+    x = jnp.zeros((1, H, W, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, x)["params"]
+
+    def flow_fn(a, b):
+        return model.apply({"params": params}, a, b)[1]
+
+    cfg = PCFAConfig(steps=steps, max_iter=max_iter, delta_bound=0.005,
+                     boxconstraint="clipping")
+    rng = np.random.default_rng(0)
+    x1 = jnp.asarray(rng.random((1, H, W, 3)), jnp.float32)
+    x2 = jnp.asarray(rng.random((1, H, W, 3)), jnp.float32)
+    target = jnp.zeros((1, H, W, 2), jnp.float32)
+
+    run = jax.jit(lambda a, b, t: pcfa_attack(flow_fn, a, b, t, cfg))
+
+    t0 = time.perf_counter()
+    res = run(x1, x2, target)
+    jax.block_until_ready(res.delta1)
+    compile_and_first = time.perf_counter() - t0
+    print(f"# compile+first run: {compile_and_first:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(args.pairs):
+        t0 = time.perf_counter()
+        res = run(x1, x2, target)
+        jax.block_until_ready(res.delta1)
+        times.append(time.perf_counter() - t0)
+    per_pair = min(times)
+    value = 1.0 / per_pair
+
+    if args.measure_cpu:
+        baseline = measure_cpu_baseline(H, W, steps, max_iter)
+        print(f"# measured CPU baseline: {baseline:.3e} pairs/s",
+              file=sys.stderr)
+    else:
+        baseline = CPU_BASELINE_PAIRS_PER_SEC
+
+    print(json.dumps({
+        "metric": "attacked frame-pairs/sec/chip "
+                  "(RAFT-12it PCFA steps=20 maxiter=10, KITTI-size)"
+                  + (" [SMOKE]" if SMOKE else ""),
+        "value": round(value, 6),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(value / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

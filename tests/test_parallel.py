@@ -1,0 +1,92 @@
+"""Sharded attack paths on the virtual 8-device CPU mesh (SURVEY.md §4.4).
+
+The DP universal trainer must produce the same δ trajectory as the serial
+engine — the psum'd global-batch loss is mathematically identical.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pcfa_tpu.attack.pcfa import PCFAConfig
+from pcfa_tpu.attack.universal import (
+    UniversalConfig,
+    universal_batch_attack,
+    universal_init,
+)
+from pcfa_tpu.data.synthetic import SyntheticDataset
+from pcfa_tpu.models import make_model
+from pcfa_tpu.parallel import data_mesh, pcfa_attack_dp, universal_batch_attack_dp
+
+H, W = 32, 32
+NDEV = 4
+
+
+@pytest.fixture(scope="module")
+def flow_fn():
+    model, _ = make_model("SpyNet", nlevels=3)
+    x = jnp.zeros((1, H, W, 3))
+    params = model.init(jax.random.PRNGKey(0), x, x)["params"]
+    return lambda a, b: model.apply({"params": params}, a, b)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    ds = SyntheticDataset(num_samples=NDEV, size=(H, W), max_shift=2)
+    arrs = [ds[i] for i in range(NDEV)]
+    x1 = jnp.asarray(np.stack([a[0] for a in arrs]) / 255.0, jnp.float32)
+    x2 = jnp.asarray(np.stack([a[1] for a in arrs]) / 255.0, jnp.float32)
+    return x1, x2
+
+
+def test_universal_dp_matches_serial(flow_fn, batch):
+    x1, x2 = batch
+    target = jnp.zeros((NDEV, H, W, 2), jnp.float32)
+    cfg = UniversalConfig(steps=2, max_iter=3, delta_bound=0.01, mu=1000.0)
+    mesh = data_mesh(NDEV)
+
+    opt0 = universal_init((H, W, 3), cfg)
+    opt_s, m_s, _, _ = jax.jit(
+        lambda a, b, t, o: universal_batch_attack(flow_fn, a, b, t, o, cfg)
+    )(x1, x2, target, opt0)
+    opt_p, m_p, init_p, flow_p = universal_batch_attack_dp(
+        flow_fn, x1, x2, target, opt0, cfg, mesh
+    )
+
+    # psum reordering reassociates float sums; differences amplify through
+    # the L-BFGS iterations but stay at noise level
+    np.testing.assert_allclose(
+        np.asarray(opt_s.x), np.asarray(opt_p.x), rtol=1e-2, atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_s.aee_adv_tgt), np.asarray(m_p.aee_adv_tgt),
+        rtol=1e-3, atol=1e-5,
+    )
+    assert init_p.shape == (NDEV, H, W, 2)
+
+
+def test_pcfa_dp_runs_sharded(flow_fn, batch):
+    x1, x2 = batch
+    targets = jnp.zeros((NDEV, H, W, 2), jnp.float32)
+    cfg = PCFAConfig(steps=1, max_iter=2, delta_bound=0.01,
+                     boxconstraint="clipping")
+    mesh = data_mesh(NDEV)
+    res = pcfa_attack_dp(flow_fn, x1, x2, targets, cfg, mesh)
+    assert res.delta1.shape == (NDEV, H, W, 3)
+    assert res.metrics.aee_adv_tgt.shape == (NDEV, cfg.steps)
+    assert np.isfinite(np.asarray(res.delta1)).all()
+
+    # sharded result == unsharded vmap result
+    from pcfa_tpu.attack.pcfa import pcfa_attack
+
+    res1 = jax.jit(jax.vmap(
+        lambda a, b, t: jax.tree.map(
+            lambda z: z[0] if z.ndim == 4 else z,
+            pcfa_attack(flow_fn, a[None], b[None], t[None], cfg),
+        )
+    ))(x1, x2, targets)
+    np.testing.assert_allclose(
+        np.asarray(res.delta1), np.asarray(res1.delta1), rtol=1e-2, atol=2e-4
+    )
