@@ -290,6 +290,26 @@ def attack_l2_universal(args) -> dict:
                     opt_state = universal_init(
                         padder.padded_shape + (3,), cfg
                     )
+                    if getattr(args, "resume_from", None):
+                        # warm-start δ from a per-epoch snapshot
+                        # (SURVEY.md §5 checkpoint/resume)
+                        from pcfa_tpu.cli.evaluate_pcfa import load_delta_nhwc
+
+                        d1_init = load_delta_nhwc(args.resume_from)
+                        if cfg.joint_perturbation:
+                            x0 = jnp.asarray(d1_init).ravel()
+                        else:
+                            d2_path = args.resume_from.replace(
+                                "delta1", "delta2"
+                            )
+                            d2_init = load_delta_nhwc(d2_path)
+                            x0 = jnp.concatenate([
+                                jnp.asarray(d1_init).ravel(),
+                                jnp.asarray(d2_init).ravel(),
+                            ])
+                        opt_state = opt_state._replace(x=x0)
+                        print("Resumed universal delta from %s"
+                              % args.resume_from)
                     step_jit = jax.jit(functools.partial(
                         universal_batch_attack, flow_fn, config=cfg
                     ))

@@ -149,6 +149,13 @@ def create_parser(stage=None, attack_type=None) -> argparse.ArgumentParser:
                 "--epochs", default=25, type=int,
                 help="[universal perturbation only] the epochs.",
             )
+            pcfa_args.add_argument(
+                "--resume_from", default=None,
+                help="[universal perturbation only] path to a delta1 .npy "
+                "snapshot (as written per epoch) to warm-start the "
+                "universal perturbation; a matching delta2 file is picked "
+                "up automatically for disjoint mode.",
+            )
         if stage == "evaluation":
             pcfa_args.add_argument(
                 "--perturbation_sourcefolder",
