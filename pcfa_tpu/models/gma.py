@@ -81,16 +81,24 @@ class Aggregate(nn.Module):
         return fmap + gamma * out
 
 
-class GMAUpdateBlock(nn.Module):
-    """`update.py:112-139`."""
+class GMAScanBody(nn.Module):
+    """One GMA refinement iteration as a `nn.scan` body (`update.py:112-139`
+    + the iteration wrapper `network.py:107-116`). Submodule names match the
+    checkpoint layout."""
 
     hidden_dim: int = 128
+    corr_radius: int = 4
     heads: int = 1
 
     @nn.compact
-    def __call__(self, net, inp, corr, flow, attention):
+    def __call__(self, carry, const):
         from pcfa_tpu.models.layers import tconv
 
+        net, coords1 = carry
+        inp, coords0, attention, pyramid = const
+        coords1 = jax.lax.stop_gradient(coords1)  # network.py:108
+        corr = corr_lookup(list(pyramid), coords1, self.corr_radius)
+        flow = coords1 - coords0
         motion = BasicMotionEncoder(name="encoder")(flow, corr)
         motion_global = Aggregate(
             heads=self.heads, dim_head=128, dim=128, name="aggregator"
@@ -100,7 +108,7 @@ class GMAUpdateBlock(nn.Module):
         delta_flow = FlowHead(256, name="flow_head")(net)
         m = nn.relu(tconv(256, (3, 3), name="mask_conv1")(net))
         mask = 0.25 * tconv(64 * 9, (1, 1), name="mask_conv2")(m)
-        return net, mask, delta_flow
+        return (net, coords1 + delta_flow), mask
 
 
 class GMA(nn.Module):
@@ -143,18 +151,20 @@ class GMA(nn.Module):
         coords0 = coords_grid(B, H8, W8)
         coords1 = coords_grid(B, H8, W8)
 
-        block_cls = nn.remat(GMAUpdateBlock) if self.remat else GMAUpdateBlock
-        update_block = block_cls(self.hidden_dim, self.num_heads,
-                                 name="update_block")
+        body = nn.remat(GMAScanBody) if self.remat else GMAScanBody
+        scanned = nn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=nn.broadcast,
+            length=self.iters,
+        )(self.hidden_dim, self.corr_radius, self.num_heads,
+          name="update_block")
 
-        up_mask = None
-        for _ in range(self.iters):
-            coords1 = jax.lax.stop_gradient(coords1)  # network.py:108
-            corr = corr_lookup(pyramid, coords1, self.corr_radius)
-            flow = coords1 - coords0
-            net, up_mask, delta_flow = update_block(net, inp, corr, flow,
-                                                    attention)
-            coords1 = coords1 + delta_flow
+        (net, coords1), masks = scanned(
+            (net, coords1), (inp, coords0, attention, tuple(pyramid))
+        )
+        up_mask = masks[-1]
 
         flow_lr = coords1 - coords0
         flow_up = upsample_flow_convex(flow_lr, up_mask)

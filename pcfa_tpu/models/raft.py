@@ -123,10 +123,40 @@ def upsample_flow_convex(flow: jnp.ndarray, mask: jnp.ndarray, factor: int = 8):
     return up.reshape(B, f * H, f * W, 2)
 
 
+class RAFTScanBody(nn.Module):
+    """One refinement iteration as a `nn.scan` body.
+
+    Submodule names match `BasicUpdateBlock` exactly, so the converted
+    checkpoint tree is unchanged. Scanning (instead of unrolling) keeps the
+    HLO 12× smaller — the update weights are loop-invariant, which is
+    exactly what `lax.scan` expresses to XLA."""
+
+    hidden_dim: int = 128
+    corr_radius: int = 4
+
+    @nn.compact
+    def __call__(self, carry, const):
+        net, coords1 = carry
+        inp, coords0, pyramid = const
+        coords1 = jax.lax.stop_gradient(coords1)  # raft.py:123
+        corr = corr_lookup(list(pyramid), coords1, self.corr_radius)
+        flow = coords1 - coords0
+        motion = BasicMotionEncoder(name="encoder")(flow, corr)
+        gru_in = jnp.concatenate([inp, motion], axis=-1)
+        net = SepConvGRU(self.hidden_dim, name="gru")(net, gru_in)
+        delta_flow = FlowHead(256, name="flow_head")(net)
+        m = nn.relu(tconv(256, (3, 3), name="mask_conv1")(net))
+        mask = 0.25 * tconv(64 * 9, (1, 1), name="mask_conv2")(m)
+        return (net, coords1 + delta_flow), mask
+
+
 class RAFT(nn.Module):
     """Full-size RAFT (`raft_config.json`: small=false). Unit-range inputs.
 
     Returns (flow_lowres, flow_up) like `test_mode=True` (`raft.py:141-142`).
+    The 12-iteration refinement is a `lax.scan` (via `nn.scan`) with
+    rematerialized bodies so L-BFGS can differentiate through all
+    iterations at bounded memory.
     """
 
     iters: int = 12
@@ -160,16 +190,19 @@ class RAFT(nn.Module):
         coords0 = coords_grid(B, H8, W8)
         coords1 = coords_grid(B, H8, W8)
 
-        block_cls = nn.remat(BasicUpdateBlock) if self.remat else BasicUpdateBlock
-        update_block = block_cls(self.hidden_dim, name="update_block")
+        body = nn.remat(RAFTScanBody) if self.remat else RAFTScanBody
+        scanned = nn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=nn.broadcast,
+            length=self.iters,
+        )(self.hidden_dim, self.corr_radius, name="update_block")
 
-        up_mask = None
-        for _ in range(self.iters):
-            coords1 = jax.lax.stop_gradient(coords1)  # raft.py:123
-            corr = corr_lookup(pyramid, coords1, self.corr_radius)
-            flow = coords1 - coords0
-            net, up_mask, delta_flow = update_block(net, inp, corr, flow)
-            coords1 = coords1 + delta_flow
+        (net, coords1), masks = scanned(
+            (net, coords1), (inp, coords0, tuple(pyramid))
+        )
+        up_mask = masks[-1]
 
         flow_lr = coords1 - coords0
         flow_up = upsample_flow_convex(flow_lr, up_mask)
