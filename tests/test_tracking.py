@@ -1,0 +1,74 @@
+"""Tracking/artifact layer: naming, layouts, metric sink round-trips."""
+
+import json
+import os
+
+import numpy as np
+
+from pcfa_tpu.cli.evaluate_pcfa import load_delta_nhwc
+from pcfa_tpu.utils.tracking import (
+    Tracker,
+    max_flow_length,
+    save_flow,
+    save_image,
+    save_tensor,
+)
+
+
+def test_experiment_naming(tmp_path):
+    t = Tracker(str(tmp_path), "RAFT", "PCFA", joint_perturbation=True,
+                universal_perturbation=True, use_mlflow=False)
+    assert t.experiment_name == "RAFT_PCFA_cd_u"
+    t2 = Tracker(str(tmp_path), "GMA", "PCFA", False, False, stage="eval",
+                 use_mlflow=False)
+    assert t2.experiment_name == "GMA_PCFA_dd_-_eval"
+    assert t2.folder_name.endswith("_GMA_PCFA_dd_-_eval")
+
+
+def test_metrics_jsonl_and_params(tmp_path):
+    with Tracker(str(tmp_path), "SpyNet", "FGSM", False, False,
+                 use_mlflow=False) as t:
+        t.log_param("alpha", 3)
+        t.log_metrics(7, ("aee_pred-tgt", 1.5), ("skipme", None))
+        avgs = t.log_averages(2, ("aee_avg_pred-tgt", 3.0), ("none", None))
+    assert avgs == {"aee_avg_pred-tgt": 1.5}
+    lines = [json.loads(l) for l in
+             open(os.path.join(t.folder_path, "metrics.jsonl"))]
+    assert {"key": "aee_pred-tgt", "value": 1.5, "step": 7} in lines
+    params = json.load(open(os.path.join(t.folder_path, "params.json")))
+    assert params["alpha"] == 3
+
+
+def test_save_tensor_nchw_roundtrip(tmp_path, rng):
+    """Artifacts are reference-layout NCHW; the evaluator loads them back."""
+    arr = rng.random((1, 6, 8, 3)).astype(np.float32)  # NHWC in-framework
+    p = save_tensor(arr, "delta1_final", 3, str(tmp_path))
+    assert p.endswith("00003_delta1_final.npy")
+    stored = np.load(p)
+    assert stored.shape == (1, 3, 6, 8)  # NCHW on disk
+    back = load_delta_nhwc(p)
+    np.testing.assert_array_equal(back, arr[0])
+
+
+def test_save_image_normalization(tmp_path, rng):
+    from PIL import Image
+
+    delta = (rng.random((4, 4, 3)).astype(np.float32) - 0.5) * 0.1
+    p = save_image(delta, 0, str(tmp_path), image_name="d",
+                   normalize_max=0.05)
+    img = np.asarray(Image.open(p))
+    assert img.shape == (4, 4, 3) and img.dtype == np.uint8
+    # normalize_max maps [-max, max] → [0, 255] around 127
+    assert 0 <= img.min() and img.max() <= 255
+
+
+def test_save_flow_png(tmp_path, rng):
+    flow = rng.standard_normal((1, 8, 8, 2)).astype(np.float32)
+    p = save_flow(flow, 1, str(tmp_path), flow_name="f", auto_scale=True)
+    assert p.endswith("00001_f.png") and os.path.getsize(p) > 0
+
+
+def test_max_flow_length_corrected():
+    f = np.zeros((2, 2, 2))
+    f[0, 0] = (3.0, 4.0)
+    assert max_flow_length(f, None) == 5.0  # sqrt(3²+4²), not the ref's bug
