@@ -7,7 +7,9 @@ each synchronizing to host). Here the full optimization — L-BFGS iterations,
 flow re-predictions, metric bookkeeping, best-δ tracking — is a single
 `lax.scan` over outer steps with an inner scan over L-BFGS iterations,
 compiled once per (network, shape): zero host round-trips until the final
-result fetch.
+result fetch. The per-outer-step unit is also exposed (`pcfa_init` /
+`pcfa_outer_step`) for host-driven stepping (streaming logs, bounded device
+program runtimes).
 
 Semantics preserved (vs reference):
   * torch L-BFGS(max_iter=10, lr=1, no line search), optimizer state
@@ -39,7 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from pcfa_tpu.attack import boxconstraint as bc
-from pcfa_tpu.attack.lbfgs import lbfgs_init, lbfgs_iteration
+from pcfa_tpu.attack.lbfgs import LBFGSState, lbfgs_init, lbfgs_iteration
 from pcfa_tpu.attack.losses import (
     avg_epe,
     default_mu,
@@ -93,6 +95,23 @@ class PCFAMetrics(NamedTuple):
     l2_delta12_min: jnp.ndarray   # l2_delta-avg_min
 
 
+class PCFABest(NamedTuple):
+    """Best-δ-under-bound tracking state (`attack_PCFA.py:147-153`)."""
+
+    below: jnp.ndarray
+    l2_min: jnp.ndarray
+    aee_tgt_min: jnp.ndarray
+    aee_pred_min: jnp.ndarray
+    delta1: jnp.ndarray
+    delta2: jnp.ndarray
+    flow: jnp.ndarray
+
+
+class PCFAState(NamedTuple):
+    opt: LBFGSState
+    best: PCFABest
+
+
 class PCFAResult(NamedTuple):
     delta1: jnp.ndarray           # final effective δ1 (image shape)
     delta2: jnp.ndarray
@@ -106,6 +125,147 @@ class PCFAResult(NamedTuple):
 
 def _flatten2(a: jnp.ndarray, b: jnp.ndarray):
     return jnp.concatenate([a.ravel(), b.ravel()])
+
+
+def _make_problem(flow_fn, image1, image2, target, cfg: PCFAConfig):
+    """Closures mapping the flat optimizer variable to inputs/δs/loss."""
+    mu = cfg.resolved_mu()
+    img_shape = image1.shape
+    n_img = image1.size
+
+    if cfg.joint_perturbation:
+        images_max = jnp.maximum(image1, image2)
+        images_min = jnp.minimum(image1, image2)
+
+        def network_inputs(x):
+            d = x.reshape(img_shape)
+            return (
+                jnp.clip(image1 + d, 0.0, 1.0),
+                jnp.clip(image2 + d, 0.0, 1.0),
+            )
+
+        def deltas(x):
+            return bc.extract_deltas_joint(
+                x.reshape(img_shape), images_max, images_min
+            )
+
+        x0 = jnp.zeros((n_img,), image1.dtype)
+    else:
+        def unpack(x):
+            return x[:n_img].reshape(img_shape), x[n_img:].reshape(img_shape)
+
+        def network_inputs(x):
+            n1, n2 = unpack(x)
+            return bc.perturbed_images(n1, n2, cfg.boxconstraint, cfg.eps_box)
+
+        def deltas(x):
+            n1, n2 = unpack(x)
+            return bc.extract_deltas(
+                n1, n2, image1, image2, cfg.boxconstraint, cfg.eps_box
+            )
+
+        i1, i2 = bc.init_nw_inputs(image1, image2, cfg.boxconstraint,
+                                   cfg.eps_box)
+        x0 = _flatten2(i1, i2)
+
+    def objective(x):
+        px1, px2 = network_inputs(x)
+        flow = flow_fn(px1, px2)
+        d1, d2 = deltas(x)
+        return loss_delta_constraint(
+            flow, target, d1, d2, cfg.delta_bound, mu, cfg.loss
+        )
+
+    return x0, network_inputs, deltas, jax.value_and_grad(objective)
+
+
+def pcfa_init(
+    flow_fn, image1, image2, config: PCFAConfig
+) -> tuple[PCFAState, jnp.ndarray]:
+    """(initial state, flow_pred_init) for one image pair/batch."""
+    cfg = config
+    x0, _, _, _ = _make_problem(flow_fn, image1, image2, None, cfg)
+    flow_pred_init = flow_fn(image1, image2)
+    best0 = PCFABest(
+        below=jnp.asarray(False),
+        l2_min=jnp.asarray(jnp.inf, image1.dtype),
+        aee_tgt_min=jnp.asarray(jnp.inf, image1.dtype),
+        aee_pred_min=jnp.asarray(0.0, image1.dtype),
+        delta1=jnp.zeros(image1.shape, image1.dtype),
+        delta2=jnp.zeros(image1.shape, image1.dtype),
+        flow=flow_pred_init,
+    )
+    return PCFAState(opt=lbfgs_init(x0, cfg.history_size), best=best0), \
+        flow_pred_init
+
+
+def pcfa_outer_step(
+    flow_fn,
+    image1,
+    image2,
+    target,
+    flow_pred_init,
+    state: PCFAState,
+    config: PCFAConfig,
+) -> tuple[PCFAState, PCFAMetrics, jnp.ndarray]:
+    """One reference outer step: a `max_iter` L-BFGS segment, flow
+    re-prediction, metrics, best-δ update (`attack_PCFA.py:155-247`)."""
+    cfg = config
+    _, network_inputs, deltas, value_and_grad = _make_problem(
+        flow_fn, image1, image2, target, cfg
+    )
+    opt, best = state
+
+    def inner(opt, pos):
+        return lbfgs_iteration(value_and_grad, opt, pos, lr=cfg.lr)
+
+    opt, seg_losses = jax.lax.scan(
+        inner, opt, jnp.arange(cfg.max_iter, dtype=jnp.int32)
+    )
+
+    # re-predict with the updated variables (`attack_PCFA.py:206-212`)
+    px1, px2 = network_inputs(opt.x)
+    flow_pred = flow_fn(px1, px2)
+    d1, d2 = deltas(opt.x)
+
+    aee_adv_tgt = avg_epe(flow_pred, target)
+    aee_adv_pred = avg_epe(flow_pred, flow_pred_init)
+    l2_d12 = two_norm_avg_delta(d1, d2)
+
+    # update rule `attack_PCFA.py:226-243`
+    in_bound = l2_d12 <= cfg.delta_bound
+    upd_not_below = (l2_d12 < best.l2_min) | (
+        (l2_d12 == best.l2_min) & (aee_adv_tgt < best.aee_tgt_min)
+    )
+    upd_below = in_bound & (aee_adv_tgt < best.aee_tgt_min)
+    update = jnp.where(best.below, upd_below, upd_not_below)
+    below = best.below | (update & in_bound)
+
+    def pick(new, old):
+        return jnp.where(update, new, old)
+
+    best = PCFABest(
+        below=below,
+        l2_min=pick(l2_d12, best.l2_min),
+        aee_tgt_min=pick(aee_adv_tgt, best.aee_tgt_min),
+        aee_pred_min=pick(aee_adv_pred, best.aee_pred_min),
+        delta1=pick(d1, best.delta1),
+        delta2=pick(d2, best.delta2),
+        flow=pick(flow_pred, best.flow),
+    )
+
+    metrics = PCFAMetrics(
+        loss=seg_losses[-1],
+        aee_adv_tgt=aee_adv_tgt,
+        aee_adv_pred=aee_adv_pred,
+        l2_delta1=two_norm_avg(d1),
+        l2_delta2=two_norm_avg(d2),
+        l2_delta12=l2_d12,
+        aee_adv_tgt_min=best.aee_tgt_min,
+        aee_adv_pred_min=best.aee_pred_min,
+        l2_delta12_min=best.l2_min,
+    )
+    return PCFAState(opt=opt, best=best), metrics, flow_pred
 
 
 def pcfa_attack(
@@ -123,152 +283,27 @@ def pcfa_attack(
     `target` must match `flow_fn`'s output shape.
     """
     cfg = config
-    mu = cfg.resolved_mu()
-    joint = cfg.joint_perturbation
-    img_shape = image1.shape
-    n_img = image1.size
+    state0, flow_pred_init = pcfa_init(flow_fn, image1, image2, cfg)
+    _, _, deltas, _ = _make_problem(flow_fn, image1, image2, target, cfg)
 
-    images_max = jnp.maximum(image1, image2)
-    images_min = jnp.minimum(image1, image2)
-
-    flow_pred_init = flow_fn(image1, image2)
-
-    # --- optimizer variable <-> perturbation mappings -----------------------
-    if joint:
-        def unpack(x):
-            return x.reshape(img_shape)
-
-        def network_inputs(x):
-            d = unpack(x)
-            return (
-                jnp.clip(image1 + d, 0.0, 1.0),
-                jnp.clip(image2 + d, 0.0, 1.0),
-            )
-
-        def deltas(x):
-            return bc.extract_deltas_joint(unpack(x), images_max, images_min)
-
-        x0 = jnp.zeros((n_img,), image1.dtype)
-    else:
-        def unpack(x):
-            return x[:n_img].reshape(img_shape), x[n_img:].reshape(img_shape)
-
-        def network_inputs(x):
-            n1, n2 = unpack(x)
-            return bc.perturbed_images(n1, n2, cfg.boxconstraint, cfg.eps_box)
-
-        def deltas(x):
-            n1, n2 = unpack(x)
-            return bc.extract_deltas(
-                n1, n2, image1, image2, cfg.boxconstraint, cfg.eps_box
-            )
-
-        i1, i2 = bc.init_nw_inputs(image1, image2, cfg.boxconstraint, cfg.eps_box)
-        x0 = _flatten2(i1, i2)
-
-    def objective(x):
-        px1, px2 = network_inputs(x)
-        flow = flow_fn(px1, px2)
-        d1, d2 = deltas(x)
-        return loss_delta_constraint(
-            flow, target, d1, d2, cfg.delta_bound, mu, cfg.loss
+    def outer(state, _):
+        state, metrics, flow_pred = pcfa_outer_step(
+            flow_fn, image1, image2, target, flow_pred_init, state, cfg
         )
+        return state, (metrics, flow_pred)
 
-    value_and_grad = jax.value_and_grad(objective)
-
-    # --- best-δ tracking state (`attack_PCFA.py:147-153`) -------------------
-    class Best(NamedTuple):
-        below: jnp.ndarray
-        l2_min: jnp.ndarray
-        aee_tgt_min: jnp.ndarray
-        aee_pred_min: jnp.ndarray
-        delta1: jnp.ndarray
-        delta2: jnp.ndarray
-        flow: jnp.ndarray
-
-    best0 = Best(
-        below=jnp.asarray(False),
-        l2_min=jnp.asarray(jnp.inf, image1.dtype),
-        aee_tgt_min=jnp.asarray(jnp.inf, image1.dtype),
-        aee_pred_min=jnp.asarray(0.0, image1.dtype),
-        delta1=jnp.zeros(img_shape, image1.dtype),
-        delta2=jnp.zeros(img_shape, image1.dtype),
-        flow=flow_pred_init,
+    state, (metrics, flows) = jax.lax.scan(
+        outer, state0, None, length=cfg.steps
     )
 
-    opt0 = lbfgs_init(x0, cfg.history_size)
-
-    def outer(carry, _):
-        opt, best = carry
-
-        def inner(opt, pos):
-            opt, loss = lbfgs_iteration(
-                value_and_grad, opt, pos, lr=cfg.lr
-            )
-            return opt, loss
-
-        opt, seg_losses = jax.lax.scan(
-            inner, opt, jnp.arange(cfg.max_iter, dtype=jnp.int32)
-        )
-
-        # re-predict with the updated variables (`attack_PCFA.py:206-212`)
-        px1, px2 = network_inputs(opt.x)
-        flow_pred = flow_fn(px1, px2)
-        d1, d2 = deltas(opt.x)
-
-        aee_adv_tgt = avg_epe(flow_pred, target)
-        aee_adv_pred = avg_epe(flow_pred, flow_pred_init)
-        l2_d1 = two_norm_avg(d1)
-        l2_d2 = two_norm_avg(d2)
-        l2_d12 = two_norm_avg_delta(d1, d2)
-
-        # update rule `attack_PCFA.py:226-243`
-        in_bound = l2_d12 <= cfg.delta_bound
-        upd_not_below = (l2_d12 < best.l2_min) | (
-            (l2_d12 == best.l2_min) & (aee_adv_tgt < best.aee_tgt_min)
-        )
-        upd_below = in_bound & (aee_adv_tgt < best.aee_tgt_min)
-        update = jnp.where(best.below, upd_below, upd_not_below)
-        below = best.below | (update & in_bound)
-
-        def pick(new, old):
-            return jnp.where(update, new, old)
-
-        best = Best(
-            below=below,
-            l2_min=pick(l2_d12, best.l2_min),
-            aee_tgt_min=pick(aee_adv_tgt, best.aee_tgt_min),
-            aee_pred_min=pick(aee_adv_pred, best.aee_pred_min),
-            delta1=pick(d1, best.delta1),
-            delta2=pick(d2, best.delta2),
-            flow=pick(flow_pred, best.flow),
-        )
-
-        step_metrics = PCFAMetrics(
-            loss=seg_losses[-1],
-            aee_adv_tgt=aee_adv_tgt,
-            aee_adv_pred=aee_adv_pred,
-            l2_delta1=l2_d1,
-            l2_delta2=l2_d2,
-            l2_delta12=l2_d12,
-            aee_adv_tgt_min=best.aee_tgt_min,
-            aee_adv_pred_min=best.aee_pred_min,
-            l2_delta12_min=best.l2_min,
-        )
-        return (opt, best), (step_metrics, flow_pred)
-
-    (opt, best), (metrics, flows) = jax.lax.scan(
-        outer, (opt0, best0), None, length=cfg.steps
-    )
-
-    d1_final, d2_final = deltas(opt.x)
+    d1_final, d2_final = deltas(state.opt.x)
     return PCFAResult(
         delta1=d1_final,
         delta2=d2_final,
-        delta1_best=best.delta1,
-        delta2_best=best.delta2,
+        delta1_best=state.best.delta1,
+        delta2_best=state.best.delta2,
         flow_pred_init=flow_pred_init,
         flow_pred=flows[-1],
-        flow_pred_best=best.flow,
+        flow_pred_best=state.best.flow,
         metrics=metrics,
     )
