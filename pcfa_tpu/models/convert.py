@@ -190,11 +190,13 @@ def raft_params_from_checkpoint(path: str) -> dict:
 
 # ------------------------------------------------------------------- GMA ---
 
-def gma_params_from_state(sd: Mapping[str, Any]) -> dict:
+def gma_params_from_state(sd: Mapping[str, Any], include_pos_emb: bool = False) -> dict:
     """RAFT-GMA state dict (`network.py:26-43`) → flax tree.
 
     The relative-positional embedding tables (`att.pos_emb.*`) are dead
-    weights under the shipped config (content-only attention) and skipped."""
+    weights under the shipped config (content-only attention); they are
+    converted anyway when `include_pos_emb` so the `position_only` /
+    `position_and_content` variants can load them."""
     update = raft_update_block_params(sd)
     update["aggregator"] = {
         "to_v": {"kernel": conv_kernel(sd["update_block.aggregator.to_v.weight"])},
@@ -204,11 +206,17 @@ def gma_params_from_state(sd: Mapping[str, Any]) -> dict:
         update["aggregator"]["project"] = {
             "kernel": conv_kernel(sd["update_block.aggregator.project.weight"])
         }
+    att: dict = {"to_qk": {"kernel": conv_kernel(sd["att.to_qk.weight"])}}
+    if include_pos_emb and "att.pos_emb.rel_height.weight" in sd:
+        att["pos_emb"] = {
+            "rel_height": _to_numpy(sd["att.pos_emb.rel_height.weight"]),
+            "rel_width": _to_numpy(sd["att.pos_emb.rel_width.weight"]),
+        }
     return {
         "fnet": basic_encoder_params(sd, "fnet", "instance"),
         "cnet": basic_encoder_params(sd, "cnet", "batch"),
         "update_block": update,
-        "att": {"to_qk": {"kernel": conv_kernel(sd["att.to_qk.weight"])}},
+        "att": att,
     }
 
 

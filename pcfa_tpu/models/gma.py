@@ -38,11 +38,52 @@ from pcfa_tpu.ops.correlation import allpairs_correlation, corr_lookup, corr_pyr
 from pcfa_tpu.ops.warp import coords_grid
 
 
+class RelPosEmb(nn.Module):
+    """Decomposed 2-axis relative positional scores (`gma.py:6-31`).
+
+    Learned embedding tables over relative offsets in height and width; the
+    score of (query at (x,y), key at (u,v)) is ⟨q, emb_h[x-u]⟩ + ⟨q,
+    emb_w[y-v]⟩. Dead weights under the shipped config but required for the
+    `position_only` / `position_and_content` attention variants."""
+
+    max_pos_size: int = 160
+    dim_head: int = 128
+
+    @nn.compact
+    def __call__(self, q: jnp.ndarray) -> jnp.ndarray:
+        # q: (B, heads, H, W, d) (already scaled)
+        B, heads, H, W, d = q.shape
+        n = 2 * self.max_pos_size - 1
+        rel_height = self.param(
+            "rel_height", nn.initializers.normal(1.0), (n, d))
+        rel_width = self.param(
+            "rel_width", nn.initializers.normal(1.0), (n, d))
+
+        def rel_ind(size):
+            deltas = jnp.arange(size)[None, :] - jnp.arange(size)[:, None]
+            return deltas + self.max_pos_size - 1
+
+        h_emb = rel_height[rel_ind(H)]  # (H, U, d)
+        w_emb = rel_width[rel_ind(W)]   # (W, V, d)
+        h_score = jnp.einsum("bhxyd,xud->bhxyu", q, h_emb,
+                             precision=jax.lax.Precision.HIGHEST)
+        w_score = jnp.einsum("bhxyd,yvd->bhxyv", q, w_emb,
+                             precision=jax.lax.Precision.HIGHEST)
+        # broadcast-add over the (u, v) key grid (`gma.py:28-31`)
+        return h_score[..., :, None] + w_score[..., None, :]
+
+
 class Attention(nn.Module):
-    """Content-only global attention over feature positions (`gma.py:34-76`)."""
+    """Global attention over feature positions (`gma.py:34-76`).
+
+    Shipped config: content-only. `position_only` / `position_and_content`
+    add the RelPosEmb scores (`gma.py:62-68`)."""
 
     heads: int = 1
     dim_head: int = 128
+    max_pos_size: int = 160
+    position_only: bool = False
+    position_and_content: bool = False
 
     @nn.compact
     def __call__(self, fmap: jnp.ndarray) -> jnp.ndarray:
@@ -52,9 +93,22 @@ class Attention(nn.Module):
         q, k = jnp.split(qk, 2, axis=-1)
         q = q.reshape(B, H * W, self.heads, self.dim_head) * self.dim_head**-0.5
         k = k.reshape(B, H * W, self.heads, self.dim_head)
-        sim = jnp.einsum(
-            "bnhd,bmhd->bhnm", q, k, precision=jax.lax.Precision.HIGHEST
-        )
+
+        if self.position_only or self.position_and_content:
+            q_grid = q.reshape(B, H, W, self.heads, self.dim_head)
+            q_grid = q_grid.transpose(0, 3, 1, 2, 4)  # (B, h, H, W, d)
+            sim_pos = RelPosEmb(self.max_pos_size, self.dim_head,
+                                name="pos_emb")(q_grid)
+            sim_pos = sim_pos.reshape(B, self.heads, H * W, H * W)
+
+        if self.position_only:
+            sim = sim_pos
+        else:
+            sim = jnp.einsum(
+                "bnhd,bmhd->bhnm", q, k, precision=jax.lax.Precision.HIGHEST
+            )
+            if self.position_and_content:
+                sim = sim + sim_pos
         return jax.nn.softmax(sim, axis=-1)  # (B, heads, HW, HW)
 
 
@@ -122,6 +176,8 @@ class GMA(nn.Module):
     hidden_dim: int = 128
     context_dim: int = 128
     num_heads: int = 1
+    position_only: bool = False           # gma_config.json: false
+    position_and_content: bool = False    # gma_config.json: false
     remat: bool = True
 
     @nn.compact
@@ -144,7 +200,9 @@ class GMA(nn.Module):
         inp = nn.relu(inp)
 
         attention = Attention(
-            heads=self.num_heads, dim_head=self.context_dim, name="att"
+            heads=self.num_heads, dim_head=self.context_dim,
+            position_only=self.position_only,
+            position_and_content=self.position_and_content, name="att"
         )(inp)
 
         B, H8, W8, _ = net.shape

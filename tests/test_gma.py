@@ -77,3 +77,50 @@ def test_gma_param_tree_matches_init(torch_gma):
     init = model.init(jax.random.PRNGKey(0), x, x)["params"]
     conv = _params(torch_gma)
     assert jax.tree.map(np.shape, init) == jax.tree.map(np.shape, conv)
+
+
+@pytest.mark.parametrize("mode", ["position_only", "position_and_content"])
+def test_gma_positional_attention_matches_reference(mode):
+    """The positional-attention variants (off in the shipped config) match
+    the reference with the same random weights."""
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from models.gma.network import RAFTGMA
+
+    cfg = Namespace(
+        num_heads=1, mixed_precision=False,
+        position_only=(mode == "position_only"),
+        position_and_content=(mode == "position_and_content"), dropout=0,
+    )
+    torch.manual_seed(1)
+    tm = RAFTGMA(cfg)
+    with torch.no_grad():
+        tm.update_block.flow_head.conv2.weight *= 0.01
+        tm.update_block.flow_head.conv2.bias *= 0.01
+    tm.eval()
+
+    rng = np.random.default_rng(2)
+    i1 = (rng.random((1, 3, H, W)) * 255).astype(np.float32)
+    i2 = (rng.random((1, 3, H, W)) * 255).astype(np.float32)
+    with torch.no_grad():
+        _, up_t = tm(torch.from_numpy(i1), torch.from_numpy(i2),
+                     iters=1, test_mode=True)
+
+    from pcfa_tpu.models.convert import gma_params_from_state as conv
+
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()
+          if "num_batches_tracked" not in k}
+    model, _ = make_model(
+        "GMA", iters=1,
+        position_only=(mode == "position_only"),
+        position_and_content=(mode == "position_and_content"),
+    )
+    _, up = model.apply(
+        {"params": conv(sd, include_pos_emb=True)},
+        jnp.asarray(i1.transpose(0, 2, 3, 1) / 255.0),
+        jnp.asarray(i2.transpose(0, 2, 3, 1) / 255.0),
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(up), (0, 3, 1, 2)), up_t.numpy(),
+        rtol=1e-3, atol=1e-3,
+    )
