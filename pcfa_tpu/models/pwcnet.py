@@ -86,6 +86,8 @@ class PWCDCNet(nn.Module):
     """`PWCDCNet` (`PWCNet.py:60-330`), eval-mode output (flow2 only)."""
 
     md: int = 4  # max displacement → patch 9
+    #: None → use the fused Pallas correlation kernel on TPU backends
+    use_pallas: bool | None = None
 
     @nn.compact
     def __call__(self, im1: jnp.ndarray, im2: jnp.ndarray) -> jnp.ndarray:
@@ -119,8 +121,15 @@ class PWCDCNet(nn.Module):
                 feats[(img_idx, lvl)] = x
 
         patch = 2 * self.md + 1
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
 
         def correlate(a, b):
+            if use_pallas:
+                from pcfa_tpu.ops.pallas import local_correlation_pallas
+
+                return _leaky(local_correlation_pallas(a, b, patch))
             return _leaky(local_correlation(a, b, patch_size=patch))
 
         def dense_decoder(x, lvl: str):

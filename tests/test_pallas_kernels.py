@@ -1,0 +1,48 @@
+"""Pallas TPU kernels vs XLA references (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pcfa_tpu.ops.correlation import local_correlation
+from pcfa_tpu.ops.pallas.local_corr import _forward, local_correlation_pallas
+
+
+def test_local_corr_pallas_forward(rng):
+    f1 = jnp.asarray(rng.standard_normal((2, 12, 16, 8)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((2, 12, 16, 8)), jnp.float32)
+    out = _forward(f1, f2, 9, interpret=True)
+    ref = local_correlation(f1, f2, 9)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_local_corr_pallas_odd_height(rng):
+    f1 = jnp.asarray(rng.standard_normal((1, 7, 10, 4)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((1, 7, 10, 4)), jnp.float32)
+    out = _forward(f1, f2, 5, interpret=True)
+    ref = local_correlation(f1, f2, 5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_local_corr_pallas_gradients(rng, monkeypatch):
+    """custom_vjp backward (XLA formulation) matches autodiff of the XLA op."""
+    # force the pallas forward to run interpreted on CPU
+    import pcfa_tpu.ops.pallas.local_corr as m
+
+    orig = m._forward
+    monkeypatch.setattr(
+        m, "_forward",
+        lambda a, b, p, interpret=True: orig(a, b, p, interpret=True),
+    )
+
+    f1 = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), jnp.float32)
+
+    g1 = jax.grad(lambda a, b: jnp.sum(local_correlation_pallas(a, b, 5) ** 2),
+                  argnums=(0, 1))(f1, f2)
+    g2 = jax.grad(lambda a, b: jnp.sum(local_correlation(a, b, 5) ** 2),
+                  argnums=(0, 1))(f1, f2)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
