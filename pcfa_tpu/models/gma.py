@@ -34,7 +34,7 @@ from pcfa_tpu.models.raft import (
     SepConvGRU,
     upsample_flow_convex,
 )
-from pcfa_tpu.ops.correlation import allpairs_correlation, corr_lookup, corr_pyramid
+from pcfa_tpu.ops.correlation import allpairs_correlation, corr_lookup_mm, corr_pyramid
 from pcfa_tpu.ops.warp import coords_grid
 
 
@@ -151,7 +151,7 @@ class GMAScanBody(nn.Module):
         net, coords1 = carry
         inp, coords0, attention, pyramid = const
         coords1 = jax.lax.stop_gradient(coords1)  # network.py:108
-        corr = corr_lookup(list(pyramid), coords1, self.corr_radius)
+        corr = corr_lookup_mm(list(pyramid), coords1, self.corr_radius)
         flow = coords1 - coords0
         motion = BasicMotionEncoder(name="encoder")(flow, corr)
         motion_global = Aggregate(

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from pcfa_tpu.models.layers import BasicEncoder, tconv
-from pcfa_tpu.ops.correlation import allpairs_correlation, corr_lookup, corr_pyramid
+from pcfa_tpu.ops.correlation import allpairs_correlation, corr_lookup_mm, corr_pyramid
 from pcfa_tpu.ops.warp import coords_grid
 
 
@@ -139,7 +139,7 @@ class RAFTScanBody(nn.Module):
         net, coords1 = carry
         inp, coords0, pyramid = const
         coords1 = jax.lax.stop_gradient(coords1)  # raft.py:123
-        corr = corr_lookup(list(pyramid), coords1, self.corr_radius)
+        corr = corr_lookup_mm(list(pyramid), coords1, self.corr_radius)
         flow = coords1 - coords0
         motion = BasicMotionEncoder(name="encoder")(flow, corr)
         gru_in = jnp.concatenate([inp, motion], axis=-1)

@@ -84,6 +84,53 @@ def corr_lookup(
     return jnp.concatenate(out_pyramid, axis=-1)
 
 
+def corr_lookup_mm(
+    pyramid: list[jnp.ndarray], coords: jnp.ndarray, radius: int = 4
+) -> jnp.ndarray:
+    """Gather-free `corr_lookup`: bilinear window sampling as two batched
+    matmuls per pyramid level (MXU) instead of 4-corner gathers (TPU
+    gathers/scatters run on the scalar core and dominate the attack's
+    runtime; this is the `alt_cuda_corr` analog, SURVEY.md §2.5 #5).
+
+    Bilinear interpolation with zero padding is linear in the correlation
+    map, and the (2r+1)² window factorizes over the two axes:
+        out[p, a, b] = Σ_{i,j} Wx_p[a, i] · corr_p[i, j] · Wy_p[b, j]
+    where the weight rows are hat functions `relu(1 - |s - iota|)` — which
+    equal the 2-corner bilinear weights, and vanish outside the map exactly
+    like `grid_sample`'s zero padding. The reference's transposed window
+    quirk (x gets the FIRST offset axis, `raft/corr.py:37-43`) is preserved:
+    `a` offsets x, `b` offsets y.
+
+    Identical (up to fp association) to `corr_lookup`; fully differentiable
+    (the VJP is two transposed matmuls — also gather-free).
+    """
+    r = radius
+    P = 2 * r + 1
+    B, H1, W1, _ = coords.shape
+    N = B * H1 * W1
+    lin = jnp.linspace(-r, r, P, dtype=coords.dtype)
+
+    out_pyramid = []
+    for i, corr in enumerate(pyramid):
+        _, H2, W2, _ = corr.shape
+        c = coords.reshape(N, 2) / 2**i
+        sx = c[:, 0:1, None] + lin[None, :, None]  # (N, P, 1) x-samples
+        sy = c[:, 1:2, None] + lin[None, :, None]  # (N, P, 1) y-samples
+        ix = jnp.arange(W2, dtype=coords.dtype)[None, None, :]
+        iy = jnp.arange(H2, dtype=coords.dtype)[None, None, :]
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx - ix))  # (N, P, W2)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy - iy))  # (N, P, H2)
+
+        cmap = corr.reshape(N, H2, W2)
+        # rows first (y), then columns (x): out[n, a, b]
+        tmp = jnp.einsum("nbj,njk->nbk", wy, cmap,
+                         precision=jax.lax.Precision.HIGHEST)  # (N, P, W2)
+        win = jnp.einsum("nak,nbk->nab", wx, tmp,
+                         precision=jax.lax.Precision.HIGHEST)  # (N, P, P)
+        out_pyramid.append(win.reshape(B, H1, W1, P * P))
+    return jnp.concatenate(out_pyramid, axis=-1)
+
+
 def local_correlation(
     fmap1: jnp.ndarray,
     fmap2: jnp.ndarray,
