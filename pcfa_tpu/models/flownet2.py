@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from pcfa_tpu.ops.channelnorm import channel_norm as channelnorm
 from pcfa_tpu.ops.correlation import global_correlation
-from pcfa_tpu.ops.warp import interpolate_bilinear
+from pcfa_tpu.ops.warp import interpolate_bilinear, resample2d
 
 
 def _leaky(x):
@@ -82,35 +82,6 @@ def upflow_deconv(features: int, use_bias: bool, name: str):
 
 def predict_flow(name: str):
     return nn.Conv(2, (3, 3), padding=[(1, 1), (1, 1)], name=name)
-
-
-def resample2d(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
-    """`resample2d_kernel.cu:16-74`: out(x,y) = bilinear(img at (x+u, y+v)),
-    corner indices clamped to borders, weights from the unclamped fracs."""
-    B, H, W, C = img.shape
-    xs = jnp.arange(W, dtype=img.dtype)
-    ys = jnp.arange(H, dtype=img.dtype)
-    gx = xs[None, None, :] + flow[..., 0]
-    gy = ys[None, :, None] + flow[..., 1]
-    x0 = jnp.floor(gx)
-    y0 = jnp.floor(gy)
-    a = (gx - x0)[..., None]
-    b = (gy - y0)[..., None]
-
-    flat = img.reshape(B, H * W, C)
-
-    def gather(yc, xc):
-        yc = jnp.clip(yc, 0, H - 1).astype(jnp.int32)
-        xc = jnp.clip(xc, 0, W - 1).astype(jnp.int32)
-        idx = (yc * W + xc).reshape(B, -1, 1)
-        return jnp.take_along_axis(flat, idx, axis=1).reshape(B, H, W, C)
-
-    return (
-        (1 - a) * (1 - b) * gather(y0, x0)
-        + a * (1 - b) * gather(y0, x0 + 1)
-        + (1 - a) * b * gather(y0 + 1, x0)
-        + a * b * gather(y0 + 1, x0 + 1)
-    )
 
 
 def upsample_nearest4(x: jnp.ndarray) -> jnp.ndarray:

@@ -5,11 +5,13 @@ from pcfa_tpu.ops.warp import (
     interpolate_bilinear,
     avg_pool2d,
     upflow,
+    resample2d,
 )
 from pcfa_tpu.ops.correlation import (
     allpairs_correlation,
     corr_pyramid,
     corr_lookup,
+    corr_lookup_mm,
     local_correlation,
     global_correlation,
 )
@@ -22,9 +24,11 @@ __all__ = [
     "interpolate_bilinear",
     "avg_pool2d",
     "upflow",
+    "resample2d",
     "allpairs_correlation",
     "corr_pyramid",
     "corr_lookup",
+    "corr_lookup_mm",
     "local_correlation",
     "global_correlation",
     "channel_norm",

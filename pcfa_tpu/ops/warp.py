@@ -165,3 +165,34 @@ def avg_pool2d(img: jnp.ndarray, window: int = 2, stride: int | None = None) -> 
         padding="VALID",
     )
     return summed / (window * window)
+
+
+def resample2d(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """FlowNet2 warp (`resample2d_kernel.cu:16-74`, SURVEY.md §2.5 #3):
+    out(x,y) = bilinear(img at (x+u, y+v)), corner indices clamped to the
+    borders with weights from the unclamped fracs. Autodiff supplies the two
+    backward kernels the reference hand-writes."""
+    B, H, W, C = img.shape
+    xs = jnp.arange(W, dtype=img.dtype)
+    ys = jnp.arange(H, dtype=img.dtype)
+    gx = xs[None, None, :] + flow[..., 0]
+    gy = ys[None, :, None] + flow[..., 1]
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    a = (gx - x0)[..., None]
+    b = (gy - y0)[..., None]
+
+    flat = img.reshape(B, H * W, C)
+
+    def gather(yc, xc):
+        yc = jnp.clip(yc, 0, H - 1).astype(jnp.int32)
+        xc = jnp.clip(xc, 0, W - 1).astype(jnp.int32)
+        idx = (yc * W + xc).reshape(B, -1, 1)
+        return jnp.take_along_axis(flat, idx, axis=1).reshape(B, H, W, C)
+
+    return (
+        (1 - a) * (1 - b) * gather(y0, x0)
+        + a * (1 - b) * gather(y0, x0 + 1)
+        + (1 - a) * b * gather(y0 + 1, x0)
+        + a * b * gather(y0 + 1, x0 + 1)
+    )
