@@ -24,7 +24,7 @@ from pcfa_tpu.attack.losses import avg_epe, get_loss, two_norm_avg, two_norm_avg
 @dataclasses.dataclass(frozen=True)
 class FGSMConfig:
     steps: int = 20
-    epsilon: float = 0.0005  # parsing_file.py fgsm default
+    epsilon: float = 0.00025  # parsing_file.py:62 fgsm default
     loss: str = "aee"
     joint_perturbation: bool = False
 

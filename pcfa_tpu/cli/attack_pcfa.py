@@ -310,9 +310,26 @@ def attack_l2_universal(args) -> dict:
                         opt_state = opt_state._replace(x=x0)
                         print("Resumed universal delta from %s"
                               % args.resume_from)
-                    step_jit = jax.jit(functools.partial(
-                        universal_batch_attack, flow_fn, config=cfg
-                    ))
+                    n_dev = len(jax.devices())
+                    if n_dev > 1 and args.batch_size % n_dev == 0:
+                        # batch-shard over the device mesh; δ-grad psum over
+                        # ICI (pcfa_tpu/parallel/dp.py)
+                        from pcfa_tpu.parallel import (
+                            data_mesh,
+                            universal_batch_attack_dp,
+                        )
+
+                        mesh = data_mesh()
+                        print(f"Sharding universal training over {n_dev} "
+                              "devices (axis 'data')")
+                        step_jit = functools.partial(
+                            universal_batch_attack_dp, flow_fn,
+                            config=cfg, mesh=mesh,
+                        )
+                    else:
+                        step_jit = jax.jit(functools.partial(
+                            universal_batch_attack, flow_fn, config=cfg
+                        ))
                 [p1], [p2] = padder.pad(x1), padder.pad(x2)
                 # drop ragged last batches: δ optimizer state is shaped for
                 # full batches and XLA wants static shapes

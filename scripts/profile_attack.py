@@ -13,8 +13,11 @@ Usage: python scripts/profile_attack.py [--size HxW] [--iters N]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
