@@ -52,6 +52,7 @@ def main():
     from pcfa_tpu.ops.correlation import (
         allpairs_correlation,
         corr_lookup,
+        corr_lookup_mm,
         corr_pyramid,
     )
 
@@ -102,9 +103,11 @@ def main():
         [None].astype(np.float32)
     ) + 0.37
     look_j = jax.jit(lambda p, c: corr_lookup(list(p), c))
-    print(f"corr lookup:      {fenced(look_j, pyr, coords)*1e3:9.1f} ms")
-    lookg_j = jax.jit(jax.grad(lambda p, c: jnp.sum(corr_lookup(list(p), c)**2), argnums=0))
-    print(f"corr lookup bwd:  {fenced(lookg_j, pyr, coords)*1e3:9.1f} ms")
+    print(f"corr lookup (gather): {fenced(look_j, pyr, coords)*1e3:9.1f} ms")
+    lookmm_j = jax.jit(lambda p, c: corr_lookup_mm(list(p), c))
+    print(f"corr lookup (matmul): {fenced(lookmm_j, pyr, coords)*1e3:9.1f} ms")
+    lookg_j = jax.jit(jax.grad(lambda p, c: jnp.sum(corr_lookup_mm(list(p), c)**2), argnums=0))
+    print(f"corr lookup mm bwd:   {fenced(lookg_j, pyr, coords)*1e3:9.1f} ms")
 
 
 if __name__ == "__main__":
