@@ -12,6 +12,7 @@ from pcfa_tpu.models.flownet2 import FlowNet2
 from pcfa_tpu.models.gma import GMA
 from pcfa_tpu.models.pwcnet import PWCDCNet
 from pcfa_tpu.models.raft import RAFT
+from pcfa_tpu.models.raft_small import RAFTSmall
 from pcfa_tpu.models.spynet import SpyNet
 
 register(
@@ -60,6 +61,18 @@ register(
         iters=12,  # `raft.py:86` default, used by the adapter
         make=RAFT,
         convert=convert.raft_params_from_checkpoint,
+        defaults={"iters": 12},
+    )
+)
+
+
+register(
+    ModelSpec(
+        name="RAFT-small",
+        pad_divisor=8,
+        iters=12,
+        make=RAFTSmall,
+        convert=convert.raft_small_params_from_checkpoint,
         defaults={"iters": 12},
     )
 )

@@ -288,3 +288,50 @@ def flownet2_params_from_state(sd: Mapping[str, Any]) -> dict:
 
 def flownet2_params_from_checkpoint(path: str) -> dict:
     return flownet2_params_from_state(load_torch_state(path))
+
+
+# ------------------------------------------------------------ RAFT-small ---
+
+def small_encoder_params(sd: Mapping[str, Any], prefix: str) -> dict:
+    """`SmallEncoder` weights (`extractor.py:195-267`). Instance/none norms
+    carry no weights, so only convs are mapped."""
+    p = {
+        "conv1": torch_conv(sd, f"{prefix}.conv1"),
+        "conv2": torch_conv(sd, f"{prefix}.conv2"),
+    }
+    for i in (1, 2, 3):
+        for j in (0, 1):
+            t = f"{prefix}.layer{i}.{j}"
+            blk = {
+                "conv1": torch_conv(sd, f"{t}.conv1"),
+                "conv2": torch_conv(sd, f"{t}.conv2"),
+                "conv3": torch_conv(sd, f"{t}.conv3"),
+            }
+            if f"{t}.downsample.0.weight" in sd:
+                blk["downsample"] = torch_conv(sd, f"{t}.downsample.0")
+            p[f"layer{i}_{j}"] = blk
+    return p
+
+
+def raft_small_params_from_state(sd: Mapping[str, Any]) -> dict:
+    """RAFT small=true state dict (`raft.py:48-51`, `update.py:99-112`)."""
+    return {
+        "fnet": small_encoder_params(sd, "fnet"),
+        "cnet": small_encoder_params(sd, "cnet"),
+        "update_block": {
+            "encoder": {
+                k: torch_conv(sd, f"update_block.encoder.{k}")
+                for k in ("convc1", "convf1", "convf2", "conv")
+            },
+            "gru": {
+                k: torch_conv(sd, f"update_block.gru.{k}")
+                for k in ("convz", "convr", "convq")
+            },
+            "flow_head_conv1": torch_conv(sd, "update_block.flow_head.conv1"),
+            "flow_head_conv2": torch_conv(sd, "update_block.flow_head.conv2"),
+        },
+    }
+
+
+def raft_small_params_from_checkpoint(path: str) -> dict:
+    return raft_small_params_from_state(load_torch_state(path))

@@ -97,3 +97,45 @@ class BasicEncoder(nn.Module):
             x = ResidualBlock(dim, self.norm_fn, stride, name=f"layer{i}_0")(x)
             x = ResidualBlock(dim, self.norm_fn, 1, name=f"layer{i}_1")(x)
         return tconv(self.output_dim, (1, 1), name="conv2")(x)
+
+
+class BottleneckBlock(nn.Module):
+    """`extractor.py:60-116`: 1×1 → 3×3(stride) → 1×1 bottleneck with
+    optional strided downsample shortcut (used by the RAFT-small encoder)."""
+
+    planes: int
+    norm_fn: str = "instance"
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        p4 = self.planes // 4
+        y = tconv(p4, (1, 1), name="conv1")(x)
+        y = nn.relu(make_norm(self.norm_fn, p4, "norm1")(y))
+        y = tconv(p4, (3, 3), strides=self.stride, name="conv2")(y)
+        y = nn.relu(make_norm(self.norm_fn, p4, "norm2")(y))
+        y = tconv(self.planes, (1, 1), name="conv3")(y)
+        y = nn.relu(make_norm(self.norm_fn, self.planes, "norm3")(y))
+        if self.stride != 1:
+            x = tconv(self.planes, (1, 1), strides=self.stride,
+                      name="downsample")(x)
+            x = make_norm(self.norm_fn, self.planes, "norm4")(x)
+        return nn.relu(x + y)
+
+
+class SmallEncoder(nn.Module):
+    """`extractor.py:195-267`: 7×7/2 stem (32) + bottleneck stages
+    (32, 64, 96; strides 1/2/2) + 1×1 output conv."""
+
+    output_dim: int = 128
+    norm_fn: str = "instance"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = tconv(32, (7, 7), strides=2, name="conv1")(x)
+        x = nn.relu(make_norm(self.norm_fn, 32, "norm1")(x))
+        for i, (dim, stride) in enumerate(((32, 1), (64, 2), (96, 2)), 1):
+            x = BottleneckBlock(dim, self.norm_fn, stride,
+                                name=f"layer{i}_0")(x)
+            x = BottleneckBlock(dim, self.norm_fn, 1, name=f"layer{i}_1")(x)
+        return tconv(self.output_dim, (1, 1), name="conv2")(x)

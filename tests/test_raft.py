@@ -106,3 +106,47 @@ def test_raft_input_gradients_flow(torch_raft):
     assert np.isfinite(np.asarray(g1)).all()
     assert float(jnp.abs(g1).max()) > 0
     assert float(jnp.abs(g2).max()) > 0
+
+
+def test_raft_small_matches_reference():
+    """RAFT small=true variant vs the reference (`raft.py:29-33,48-51`)."""
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from models.raft.raft import RAFT as TorchRAFT
+
+    # the reference's SmallMotionEncoder mixes attr and dict access on args
+    # (`update.py:65`), so it needs a dict with attribute access
+    class _AttrDict(dict):
+        __getattr__ = dict.__getitem__
+
+    cfg = _AttrDict(small=True, mixed_precision=False, dropout=0,
+                    alternate_corr=False)
+    torch.manual_seed(3)
+    tm = TorchRAFT(cfg)
+    with torch.no_grad():
+        tm.update_block.flow_head.conv2.weight *= 0.01
+        tm.update_block.flow_head.conv2.bias *= 0.01
+    tm.eval()
+
+    rng = np.random.default_rng(4)
+    i1 = (rng.random((1, 3, H, W)) * 255).astype(np.float32)
+    i2 = (rng.random((1, 3, H, W)) * 255).astype(np.float32)
+    with torch.no_grad():
+        lr_t, up_t = tm(torch.from_numpy(i1), torch.from_numpy(i2),
+                        iters=2, test_mode=True)
+
+    from pcfa_tpu.models.convert import raft_small_params_from_state
+
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()
+          if "num_batches_tracked" not in k}
+    model, spec = make_model("RAFT-small", iters=2)
+    assert spec.pad_divisor == 8
+    lr, up = model.apply(
+        {"params": raft_small_params_from_state(sd)},
+        jnp.asarray(i1.transpose(0, 2, 3, 1) / 255.0),
+        jnp.asarray(i2.transpose(0, 2, 3, 1) / 255.0),
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(up), (0, 3, 1, 2)), up_t.numpy(),
+        rtol=1e-3, atol=1e-3,
+    )
