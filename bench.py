@@ -110,7 +110,8 @@ def main():
     # per-program runtime; identical math to the fully fused lax.scan)
     init_jit = jax.jit(functools.partial(pcfa_init, flow_fn, config=cfg))
     step_jit = jax.jit(
-        lambda a, b, t, fpi, s: pcfa_outer_step(flow_fn, a, b, t, fpi, s, cfg)
+        lambda a, b, t, fpi, s: pcfa_outer_step(flow_fn, a, b, t, fpi, s, cfg),
+        donate_argnums=(4,),  # PCFA state (L-BFGS history buffers)
     )
 
     def run_pair():

@@ -327,9 +327,12 @@ def attack_l2_universal(args) -> dict:
                             config=cfg, mesh=mesh,
                         )
                     else:
-                        step_jit = jax.jit(functools.partial(
-                            universal_batch_attack, flow_fn, config=cfg
-                        ))
+                        step_jit = jax.jit(
+                            functools.partial(
+                                universal_batch_attack, flow_fn, config=cfg
+                            ),
+                            donate_argnums=(3,),  # opt_state buffers
+                        )
                 [p1], [p2] = padder.pad(x1), padder.pad(x2)
                 # drop ragged last batches: δ optimizer state is shaped for
                 # full batches and XLA wants static shapes

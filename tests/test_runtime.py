@@ -1,0 +1,46 @@
+"""Runtime loader: spec wiring, padding composition, error paths."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pcfa_tpu.runtime import WEIGHT_PATHS, load_model, make_flow_fn
+
+
+def test_missing_checkpoint_raises():
+    with pytest.raises(FileNotFoundError) as e:
+        load_model("RAFT")
+    assert "load_all_weights.sh" in str(e.value)
+
+
+def test_random_init_and_flow_fn_unpads():
+    loaded = load_model("SpyNet", init_random=True, nlevels=3)
+    # odd Sintel-like size → padded, flow comes back at original size
+    H, W = 13, 21
+    padder, flow_fn = make_flow_fn(loaded, (H, W))
+    rng = np.random.default_rng(0)
+    x1 = jnp.asarray(rng.random((1, H, W, 3)), jnp.float32)
+    x2 = jnp.asarray(rng.random((1, H, W, 3)), jnp.float32)
+    [p1], [p2] = padder.pad(x1), padder.pad(x2)
+    assert p1.shape[1] % loaded.spec.pad_divisor == 0
+    flow = flow_fn(p1, p2)
+    assert flow.shape == (1, H, W, 2)
+
+
+def test_tuple_output_collapsed():
+    loaded = load_model("RAFT", init_random=True, iters=1)
+    padder, flow_fn = make_flow_fn(loaded, (128, 128))
+    x = jnp.zeros((1, 128, 128, 3))
+    flow = flow_fn(x, x)  # RAFT returns (lr, up); flow_fn yields up, unpadded
+    assert flow.shape == (1, 128, 128, 2)
+
+
+def test_all_registered_models_have_weight_paths():
+    from pcfa_tpu.models import available_models
+
+    for name in available_models():
+        if name == "RAFT-small":  # no shipped checkpoint in the reference
+            continue
+        assert name in WEIGHT_PATHS
