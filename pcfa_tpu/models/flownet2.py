@@ -22,6 +22,7 @@ C/S1 flows and *nearest* ×4 for S2/SD flows (`FlowNet2.py:36,48,63-64`).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from pcfa_tpu.ops.channelnorm import channel_norm as channelnorm
@@ -92,6 +93,9 @@ def upsample_nearest4(x: jnp.ndarray) -> jnp.ndarray:
 class FlowNetC(nn.Module):
     """`FlowNetC.py:13-128` (batchNorm=False). Input: 6-ch stacked frames."""
 
+    #: None → use the fused Pallas correlation kernel on TPU backends
+    use_pallas: bool | None = None
+
     @nn.compact
     def __call__(self, x):
         x1, x2 = x[..., :3], x[..., 3:]
@@ -104,7 +108,15 @@ class FlowNetC(nn.Module):
         c3a = conv3(c2a)
         c3b = conv3(conv2(conv1(x2)))
 
-        corr = _leaky(global_correlation(c3a, c3b, 20, 2))
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from pcfa_tpu.ops.pallas import global_correlation_pallas
+
+            corr = _leaky(global_correlation_pallas(c3a, c3b, 20, 2))
+        else:
+            corr = _leaky(global_correlation(c3a, c3b, 20, 2))
         redir = CL(32, 1, name="conv_redir")(c3a)
         x = CL(256, name="conv3_1")(jnp.concatenate([redir, corr], -1))
 

@@ -5,4 +5,7 @@ reference (plus the native C++ oracle in `pcfa_tpu/native`). Kernels are
 used on TPU backends; other backends fall back to the XLA implementation.
 """
 
-from pcfa_tpu.ops.pallas.local_corr import local_correlation_pallas
+from pcfa_tpu.ops.pallas.local_corr import (
+    global_correlation_pallas,
+    local_correlation_pallas,
+)

@@ -13,7 +13,7 @@ from pcfa_tpu.ops.pallas.local_corr import _forward, local_correlation_pallas
 def test_local_corr_pallas_forward(rng):
     f1 = jnp.asarray(rng.standard_normal((2, 12, 16, 8)), jnp.float32)
     f2 = jnp.asarray(rng.standard_normal((2, 12, 16, 8)), jnp.float32)
-    out = _forward(f1, f2, 9, interpret=True)
+    out = _forward(f1, f2, 9, 1, interpret=True)
     ref = local_correlation(f1, f2, 9)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
@@ -21,7 +21,7 @@ def test_local_corr_pallas_forward(rng):
 def test_local_corr_pallas_odd_height(rng):
     f1 = jnp.asarray(rng.standard_normal((1, 7, 10, 4)), jnp.float32)
     f2 = jnp.asarray(rng.standard_normal((1, 7, 10, 4)), jnp.float32)
-    out = _forward(f1, f2, 5, interpret=True)
+    out = _forward(f1, f2, 5, 1, interpret=True)
     ref = local_correlation(f1, f2, 5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
@@ -34,7 +34,7 @@ def test_local_corr_pallas_gradients(rng, monkeypatch):
     orig = m._forward
     monkeypatch.setattr(
         m, "_forward",
-        lambda a, b, p, interpret=True: orig(a, b, p, interpret=True),
+        lambda a, b, p, s=1, interpret=True: orig(a, b, p, s, interpret=True),
     )
 
     f1 = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), jnp.float32)
@@ -46,3 +46,29 @@ def test_local_corr_pallas_gradients(rng, monkeypatch):
                   argnums=(0, 1))(f1, f2)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_global_corr_pallas_forward(rng):
+    from pcfa_tpu.ops.correlation import global_correlation
+
+    f1 = jnp.asarray(rng.standard_normal((1, 12, 14, 16)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((1, 12, 14, 16)), jnp.float32)
+    out = _forward(f1, f2, 2 * (4 // 2) + 1, 2, interpret=True)
+    ref = global_correlation(f1, f2, 4, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_corr_pallas_channel_chunking(rng):
+    """Force the c-chunk accumulation path (padded map over budget)."""
+    import pcfa_tpu.ops.pallas.local_corr as m
+
+    orig = m._pick_c_chunks
+    try:
+        m._pick_c_chunks = lambda *a, **k: 4
+        f1 = jnp.asarray(rng.standard_normal((1, 8, 10, 8)), jnp.float32)
+        f2 = jnp.asarray(rng.standard_normal((1, 8, 10, 8)), jnp.float32)
+        out = _forward(f1, f2, 5, 1, interpret=True)
+        ref = local_correlation(f1, f2, 5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    finally:
+        m._pick_c_chunks = orig
