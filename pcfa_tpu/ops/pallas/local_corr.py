@@ -61,6 +61,50 @@ def _kernel(f1_ref, f2p_ref, out_ref, *, patch: int, stride: int,
                     out_ref[0, :, :, ch] += val
 
 
+def _kernel_dma(f1_ref, f2p_ref, out_ref, scratch, sem, *, patch: int,
+                stride: int, tile_h: int, inv_c: float, R: int, Cc: int,
+                c_chunks: int):
+    """Streaming variant: padded f2 stays in HBM; each grid step DMAs its
+    (tile_h + 2R)-row halo slab for its channel chunk into VMEM scratch."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    c = pl.program_id(2) if c_chunks > 1 else 0
+    row0 = i * tile_h
+    cp = pltpu.make_async_copy(
+        f2p_ref.at[b, pl.ds(row0, tile_h + 2 * R), :,
+                   pl.ds(c * Cc, Cc)],
+        scratch,
+        sem,
+    )
+    cp.start()
+    cp.wait()
+
+    f1 = f1_ref[0]
+    W = f1.shape[1]
+    first_chunk = pl.program_id(2) == 0 if c_chunks > 1 else None
+    for iy in range(patch):
+        rows = scratch[pl.ds(iy * stride, tile_h), :, :]
+        for ix in range(patch):
+            dx = ix * stride
+            val = jnp.sum(f1 * rows[:, dx : dx + W, :], axis=-1) * inv_c
+            ch = iy * patch + ix
+            if c_chunks == 1:
+                out_ref[0, :, :, ch] = val
+            else:
+                @pl.when(first_chunk)
+                def _():
+                    out_ref[0, :, :, ch] = val
+
+                @pl.when(jnp.logical_not(first_chunk))
+                def _():
+                    out_ref[0, :, :, ch] += val
+
+
+#: VMEM budgets (bytes); module-level so tests can force the streaming path
+_RESIDENT_BUDGET = 9 * 2**20
+_SLAB_BUDGET = 6 * 2**20
+
+
 def _pick_tile_h(H: int, target: int = 8) -> int:
     for t in (target, 4, 2, 1):
         if H % t == 0:
@@ -68,51 +112,103 @@ def _pick_tile_h(H: int, target: int = 8) -> int:
     return 1
 
 
-def _pick_c_chunks(H, W, C, R, dtype_bytes=4, budget=10 * 2**20) -> int:
-    """Smallest channel split whose padded f2 chunk fits the VMEM budget."""
-    for chunks in (1, 2, 4, 8):
-        if C % chunks:
-            continue
-        if (H + 2 * R) * (W + 2 * R) * (C // chunks) * dtype_bytes <= budget:
-            return chunks
-    return max(c for c in (1, 2, 4, 8) if C % c == 0)
+def _valid_c_chunks(C: int):
+    """Mosaic requires the lane (last) block dim to be 128-divisible or the
+    full dimension, so channel chunks must keep Cc % 128 == 0 (or Cc == C)."""
+    return [n for n in (1, 2, 4, 8)
+            if C % n == 0 and (n == 1 or (C // n) % 128 == 0)]
 
 
 def _forward(fmap1, fmap2, patch, stride, interpret=False):
     B, H, W, C = fmap1.shape
     R = (patch - 1) // 2 * stride
-    tile_h = _pick_tile_h(H)
-    c_chunks = _pick_c_chunks(H, W, C, R)
-    Cc = C // c_chunks
-    f2p = jnp.pad(fmap2, ((0, 0), (R, R), (R, R), (0, 0)))
+    dtype_bytes = fmap1.dtype.itemsize
 
-    return pl.pallas_call(
+    # resident path: whole padded f2 (double-buffered by the pipeline) must
+    # fit VMEM together with the f1/out blocks
+    resident_bytes = 2 * (H + 2 * R) * (W + 2 * R) * C * dtype_bytes
+    use_resident = resident_bytes <= _RESIDENT_BUDGET
+
+    if use_resident:
+        tile_h = _pick_tile_h(H)
+        f2p = jnp.pad(fmap2, ((0, 0), (R, R), (R, R), (0, 0)))
+        return pl.pallas_call(
+            functools.partial(
+                _kernel, patch=patch, stride=stride, tile_h=tile_h,
+                inv_c=1.0 / C, c_chunks=1,
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, H, W, patch * patch),
+                                           fmap1.dtype),
+            grid=(B, H // tile_h, 1),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, tile_h, W, C),
+                    lambda b, i, c: (b, i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, H + 2 * R, W + 2 * R, C),
+                    lambda b, i, c: (b, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, tile_h, W, patch * patch),
+                lambda b, i, c: (b, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            interpret=interpret,
+        )(fmap1, f2p)
+
+    # streaming path: f2 stays in HBM, halo slabs DMA'd per tile; channels
+    # chunked (lane-aligned) so the slab fits VMEM
+    tile_h = 8
+    Hp = ((H + tile_h - 1) // tile_h) * tile_h
+    # DMA slices need 8-aligned sublane (width) extents: pad W+2R up to 8
+    W2 = W + 2 * R
+    W2p = ((W2 + 7) // 8) * 8
+    f1p = jnp.pad(fmap1, ((0, 0), (0, Hp - H), (0, 0), (0, 0)))
+    f2p = jnp.pad(fmap2,
+                  ((0, 0), (R, R + Hp - H), (R, W2p - W2 + R), (0, 0)))
+
+    c_chunks = 1
+    for n in _valid_c_chunks(C):
+        slab = (tile_h + 2 * R) * (W + 2 * R) * (C // n) * dtype_bytes
+        if slab <= _SLAB_BUDGET:
+            c_chunks = n
+            break
+    else:
+        c_chunks = _valid_c_chunks(C)[-1]
+    Cc = C // c_chunks
+
+    out = pl.pallas_call(
         functools.partial(
-            _kernel, patch=patch, stride=stride, tile_h=tile_h,
-            inv_c=1.0 / C, c_chunks=c_chunks,
+            _kernel_dma, patch=patch, stride=stride, tile_h=tile_h,
+            inv_c=1.0 / C, R=R, Cc=Cc, c_chunks=c_chunks,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, patch * patch),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, W, patch * patch),
                                        fmap1.dtype),
-        grid=(B, H // tile_h, c_chunks),
+        grid=(B, Hp // tile_h, c_chunks),
         in_specs=[
             pl.BlockSpec(
                 (1, tile_h, W, Cc),
                 lambda b, i, c: (b, i, 0, c),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, H + 2 * R, W + 2 * R, Cc),
-                lambda b, i, c: (b, 0, 0, c),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=pl.BlockSpec(
             (1, tile_h, W, patch * patch),
             lambda b, i, c: (b, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2 * R, W2p, Cc), fmap1.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
         interpret=interpret,
-    )(fmap1, f2p)
+    )(f1p, f2p)
+    return out[:, :H]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

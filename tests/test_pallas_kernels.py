@@ -58,17 +58,29 @@ def test_global_corr_pallas_forward(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
-def test_corr_pallas_channel_chunking(rng):
-    """Force the c-chunk accumulation path (padded map over budget)."""
+def test_corr_pallas_streaming_path(rng, monkeypatch):
+    """Force the HBM-streaming DMA path (resident budget exceeded), with an
+    odd height exercising the H padding."""
     import pcfa_tpu.ops.pallas.local_corr as m
 
-    orig = m._pick_c_chunks
-    try:
-        m._pick_c_chunks = lambda *a, **k: 4
-        f1 = jnp.asarray(rng.standard_normal((1, 8, 10, 8)), jnp.float32)
-        f2 = jnp.asarray(rng.standard_normal((1, 8, 10, 8)), jnp.float32)
-        out = _forward(f1, f2, 5, 1, interpret=True)
-        ref = local_correlation(f1, f2, 5)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
-    finally:
-        m._pick_c_chunks = orig
+    monkeypatch.setattr(m, "_RESIDENT_BUDGET", 0)
+    f1 = jnp.asarray(rng.standard_normal((1, 11, 10, 8)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((1, 11, 10, 8)), jnp.float32)
+    out = _forward(f1, f2, 5, 1, interpret=True)
+    ref = local_correlation(f1, f2, 5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_corr_pallas_streaming_chunked(rng, monkeypatch):
+    """Streaming + channel chunking (lane-aligned 128 chunks)."""
+    import pcfa_tpu.ops.pallas.local_corr as m
+
+    monkeypatch.setattr(m, "_RESIDENT_BUDGET", 0)
+    monkeypatch.setattr(m, "_SLAB_BUDGET", 10 * 2**10)
+    f1 = jnp.asarray(rng.standard_normal((1, 8, 6, 256)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((1, 8, 6, 256)), jnp.float32)
+    out = _forward(f1, f2, 3, 2, interpret=True)
+    from pcfa_tpu.ops.correlation import global_correlation
+
+    ref = global_correlation(f1, f2, 2, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
