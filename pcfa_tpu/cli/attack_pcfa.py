@@ -311,7 +311,8 @@ def attack_l2_universal(args) -> dict:
                         print("Resumed universal delta from %s"
                               % args.resume_from)
                     n_dev = len(jax.devices())
-                    if n_dev > 1 and args.batch_size % n_dev == 0:
+                    if (n_dev > 1 and args.batch_size % n_dev == 0
+                            and args.loss in ('aee', 'mse')):
                         # batch-shard over the device mesh; δ-grad psum over
                         # ICI (pcfa_tpu/parallel/dp.py)
                         from pcfa_tpu.parallel import (

@@ -76,11 +76,10 @@ def universal_batch_attack_dp(
     true collective (SURVEY.md §2.6)."""
     cfg = config
     delta_shape = images1.shape[1:]
-    global_batch = images1.shape[0]
-    if cfg.loss != "aee":
+    if cfg.loss not in ("aee", "mse"):
         raise NotImplementedError(
-            "sharded universal training currently supports the default "
-            "'aee' loss (the reference's published config)"
+            "sharded universal training supports the separable 'aee'/'mse' "
+            "losses; use the serial engine for 'cosim' (globally normalized)"
         )
 
     def sharded_step(x1_local, x2_local, tgt_local, opt):
@@ -100,11 +99,15 @@ def universal_batch_attack_dp(
             px1 = jnp.clip(x1_local + d1[None], 0.0, 1.0)
             px2 = jnp.clip(x2_local + d2[None], 0.0, 1.0)
             flow = flow_fn(px1, px2)
-            epe_local = jnp.sum(
-                jnp.sqrt(jnp.sum((flow - tgt_local) ** 2, axis=-1))
-            )
-            n_local = flow.shape[0] * flow.shape[1] * flow.shape[2]
-            sim_share = epe_local / (n_local * n_dev)
+            if cfg.loss == "aee":
+                sim_local = jnp.sum(
+                    jnp.sqrt(jnp.sum((flow - tgt_local) ** 2, axis=-1))
+                )
+                n_local = flow.shape[0] * flow.shape[1] * flow.shape[2]
+            else:  # mse: mean over every element incl. the uv channel
+                sim_local = jnp.sum((flow - tgt_local) ** 2)
+                n_local = flow.size
+            sim_share = sim_local / (n_local * n_dev)
             pen_share = cfg.mu * relu_penalty(d1, d2, cfg.delta_bound) / n_dev
             return sim_share + pen_share
 

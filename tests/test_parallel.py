@@ -90,3 +90,31 @@ def test_pcfa_dp_runs_sharded(flow_fn, batch):
     np.testing.assert_allclose(
         np.asarray(res.delta1), np.asarray(res1.delta1), rtol=1e-2, atol=2e-4
     )
+
+
+def test_universal_dp_mse_matches_serial(flow_fn, batch):
+    x1, x2 = batch
+    target = jnp.zeros((NDEV, H, W, 2), jnp.float32)
+    cfg = UniversalConfig(steps=1, max_iter=3, delta_bound=0.01, mu=1000.0,
+                          loss="mse")
+    mesh = data_mesh(NDEV)
+    opt0 = universal_init((H, W, 3), cfg)
+    opt_s, m_s, _, _ = jax.jit(
+        lambda a, b, t, o: universal_batch_attack(flow_fn, a, b, t, o, cfg)
+    )(x1, x2, target, opt0)
+    opt_p, m_p, _, _ = universal_batch_attack_dp(
+        flow_fn, x1, x2, target, opt0, cfg, mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(opt_s.x), np.asarray(opt_p.x), rtol=1e-2, atol=5e-5
+    )
+
+
+def test_universal_dp_cosim_rejected(flow_fn, batch):
+    x1, x2 = batch
+    cfg = UniversalConfig(steps=1, max_iter=1, loss="cosim")
+    with pytest.raises(NotImplementedError):
+        universal_batch_attack_dp(
+            flow_fn, x1, x2, jnp.zeros((NDEV, H, W, 2)),
+            universal_init((H, W, 3), cfg), cfg, data_mesh(NDEV),
+        )
