@@ -79,3 +79,24 @@ def test_eval_rejects_non_universal(tmp_path):
             "--perturbation_sourcefolder=/nonexistent",
             f"--output_folder={tmp_path}",
         ])
+
+
+def test_pcfa_custom_target(tmp_path):
+    """--target=custom with a .flo file (crop/pad fitting, `targets.py:33-86`)."""
+    import jax.numpy as jnp
+
+    from pcfa_tpu.io import write_flo
+
+    tgt = np.zeros((80, 80, 2), np.float32)  # larger than the 64x64 frames
+    tgt[..., 0] = 3.0
+    path = str(tmp_path / "tgt.flo")
+    write_flo(tgt, path)
+
+    out = str(tmp_path / "out")
+    pcfa_main(COMMON + [
+        "--steps=1", "--boxconstraint=clipping", "--target=custom",
+        f"--custom_target_path={path}", f"--output_folder={out}",
+        "--no_save",
+    ])
+    runs = glob.glob(os.path.join(out, "SpyNet_PCFA_dd_-", "*"))
+    assert len(runs) == 1
