@@ -96,8 +96,8 @@ def main():
     x = jnp.zeros((1, H, W, 3), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x, x)["params"]
 
-    def flow_fn(a, b):
-        return model.apply({"params": params}, a, b)[1]
+    def flow_fn_p(prm, a, b):
+        return model.apply({"params": prm}, a, b)[1]
 
     cfg = PCFAConfig(steps=steps, max_iter=max_iter, delta_bound=0.005,
                      boxconstraint="clipping")
@@ -108,16 +108,22 @@ def main():
 
     # host-driven outer steps: one L-BFGS segment per device call (bounded
     # per-program runtime; identical math to the fully fused lax.scan)
-    init_jit = jax.jit(functools.partial(pcfa_init, flow_fn, config=cfg))
+    init_jit = jax.jit(
+        lambda prm, a, b: pcfa_init(functools.partial(flow_fn_p, prm), a, b,
+                                    cfg)
+    )
     step_jit = jax.jit(
-        lambda a, b, t, fpi, s: pcfa_outer_step(flow_fn, a, b, t, fpi, s, cfg),
-        donate_argnums=(4,),  # PCFA state (L-BFGS history buffers)
+        lambda prm, a, b, t, fpi, s: pcfa_outer_step(
+            functools.partial(flow_fn_p, prm), a, b, t, fpi, s, cfg
+        ),
+        donate_argnums=(5,),  # PCFA state (L-BFGS history buffers)
     )
 
     def run_pair():
-        state, flow_pred_init = init_jit(x1, x2)
+        state, flow_pred_init = init_jit(params, x1, x2)
         for _ in range(steps):
-            state, metrics, _ = step_jit(x1, x2, target, flow_pred_init, state)
+            state, metrics, _ = step_jit(params, x1, x2, target,
+                                         flow_pred_init, state)
         jax.block_until_ready(state.opt.x)
         return metrics
 

@@ -51,12 +51,13 @@ class LBFGSState(NamedTuple):
 
 def lbfgs_init(x0: jnp.ndarray, history_size: int = 100) -> LBFGSState:
     n = x0.shape[0]
-    zeros_n = jnp.zeros_like(x0)
     return LBFGSState(
         x=x0,
-        d=zeros_n,
+        # distinct buffers per field: aliased leaves break jit donation
+        # ("attempt to donate the same buffer twice")
+        d=jnp.zeros_like(x0),
         t=jnp.asarray(0.0, x0.dtype),
-        prev_grad=zeros_n,
+        prev_grad=jnp.zeros_like(x0),
         prev_loss=jnp.asarray(0.0, x0.dtype),
         y_buf=jnp.zeros((history_size, n), x0.dtype),
         s_buf=jnp.zeros((history_size, n), x0.dtype),

@@ -15,7 +15,7 @@ from pcfa_tpu.attack.fgsm import FGSMConfig, fgsm_attack
 from pcfa_tpu.cli import common
 from pcfa_tpu.cli.parsing import create_parser
 from tqdm import tqdm as _tqdm
-from pcfa_tpu.runtime import make_flow_fn
+from pcfa_tpu.runtime import make_flow_fn_p
 from pcfa_tpu.utils import tracking
 from pcfa_tpu.utils.tracking import Tracker, save_flow, save_image, save_tensor
 
@@ -77,15 +77,18 @@ def attack(args) -> dict:
         for batch, (img1, img2, flow_gt, _valid) in enumerate(_tqdm(loader)):
             x1, x2 = common.unit_images(img1, img2)
             if attack_jit is None:
-                padder, flow_fn = make_flow_fn(
+                padder, flow_fn_p = make_flow_fn_p(
                     loaded, x1.shape[1:3], common.pad_mode_for(args.dataset)
                 )
-                flow_init_fn = jax.jit(flow_fn)
-                attack_jit = jax.jit(functools.partial(fgsm_attack, flow_fn,
-                                                       config=cfg))
+                flow_init_fn = jax.jit(flow_fn_p)
+                attack_jit = jax.jit(
+                    lambda prm, a, b, t: fgsm_attack(
+                        functools.partial(flow_fn_p, prm), a, b, t, cfg
+                    )
+                )
             [p1], [p2] = padder.pad(x1), padder.pad(x2)
 
-            flow_pred_init = flow_init_fn(p1, p2)
+            flow_pred_init = flow_init_fn(loaded.params, p1, p2)
             target = common.build_target(args, flow_pred_init)
 
             curr = batch * args.steps
@@ -97,7 +100,7 @@ def attack(args) -> dict:
                                 ("aee_gt-tgt", aee_gt_tgt),
                                 ("aee_pred-gt", aee_gt))
 
-            res = attack_jit(p1, p2, target)
+            res = attack_jit(loaded.params, p1, p2, target)
             m = jax.device_get(res.metrics)
             for s in range(args.steps):
                 cs = batch * args.steps + s

@@ -25,7 +25,7 @@ from pcfa_tpu.attack.universal import (
 from pcfa_tpu.cli import common
 from pcfa_tpu.cli.parsing import create_parser
 from tqdm import tqdm as _tqdm
-from pcfa_tpu.runtime import make_flow_fn
+from pcfa_tpu.runtime import make_flow_fn_p
 from pcfa_tpu.utils import tracking
 from pcfa_tpu.utils.tracking import Tracker, save_flow, save_image, save_tensor
 
@@ -119,15 +119,20 @@ def attack_l2(args) -> dict:
         for batch, (img1, img2, flow_gt, _valid) in enumerate(_tqdm(loader)):
             x1, x2 = common.unit_images(img1, img2)
             if attack_jit is None:
-                padder, flow_fn = make_flow_fn(
+                padder, flow_fn_p = make_flow_fn_p(
                     loaded, x1.shape[1:3], common.pad_mode_for(args.dataset)
                 )
-                flow_init_fn = jax.jit(flow_fn)
-                attack_jit = jax.jit(functools.partial(pcfa_attack, flow_fn,
-                                                       config=cfg))
+                # params as jit ARGUMENTS (closures embed the weights into
+                # the compile payload — fatal for FlowNet2's 650 MB)
+                flow_init_fn = jax.jit(flow_fn_p)
+                attack_jit = jax.jit(
+                    lambda prm, a, b, t: pcfa_attack(
+                        functools.partial(flow_fn_p, prm), a, b, t, cfg
+                    )
+                )
             [p1], [p2] = padder.pad(x1), padder.pad(x2)
 
-            flow_pred_init = flow_init_fn(p1, p2)
+            flow_pred_init = flow_init_fn(loaded.params, p1, p2)
             target = common.build_target(args, flow_pred_init)
 
             curr = batch * args.steps
@@ -139,7 +144,7 @@ def attack_l2(args) -> dict:
                                 ("aee_pred-gt", aee_gt))
             tracker.log_metric("optim_mu", mu, curr)
 
-            res = attack_jit(p1, p2, target)
+            res = attack_jit(loaded.params, p1, p2, target)
             m = jax.device_get(res.metrics)
 
             for s in range(args.steps):
@@ -282,11 +287,11 @@ def attack_l2_universal(args) -> dict:
                 batch_ctr += 1
                 x1, x2 = common.unit_images(img1, img2)
                 if step_jit is None:
-                    padder, flow_fn = make_flow_fn(
+                    padder, flow_fn_p = make_flow_fn_p(
                         loaded, x1.shape[1:3],
                         common.pad_mode_for(args.dataset),
                     )
-                    flow_init_fn = jax.jit(flow_fn)
+                    flow_init_fn = jax.jit(flow_fn_p)
                     opt_state = universal_init(
                         padder.padded_shape + (3,), cfg
                     )
@@ -324,23 +329,27 @@ def attack_l2_universal(args) -> dict:
                         print(f"Sharding universal training over {n_dev} "
                               "devices (axis 'data')")
                         step_jit = functools.partial(
-                            universal_batch_attack_dp, flow_fn,
-                            config=cfg, mesh=mesh,
+                            universal_batch_attack_dp, flow_fn_p,
+                            config=cfg, mesh=mesh, params=loaded.params,
                         )
                     else:
-                        step_jit = jax.jit(
-                            functools.partial(
-                                universal_batch_attack, flow_fn, config=cfg
+                        _ustep = jax.jit(
+                            lambda prm, a, b, t, o: universal_batch_attack(
+                                functools.partial(flow_fn_p, prm),
+                                a, b, t, o, cfg,
                             ),
-                            donate_argnums=(3,),  # opt_state buffers
+                            donate_argnums=(4,),  # opt_state buffers
                         )
+
+                        def step_jit(a, b, t, o):
+                            return _ustep(loaded.params, a, b, t, o)
                 [p1], [p2] = padder.pad(x1), padder.pad(x2)
                 # drop ragged last batches: δ optimizer state is shaped for
                 # full batches and XLA wants static shapes
                 if p1.shape[0] != args.batch_size:
                     continue
 
-                flow_pred_init = flow_init_fn(p1, p2)
+                flow_pred_init = flow_init_fn(loaded.params, p1, p2)
                 target = common.build_target(args, flow_pred_init)
 
                 curr = batch_ctr * args.steps

@@ -27,7 +27,7 @@ from pcfa_tpu.attack.losses import two_norm_avg, two_norm_avg_delta
 from pcfa_tpu.cli import common
 from pcfa_tpu.cli.parsing import create_parser
 from pcfa_tpu.models import get_spec
-from pcfa_tpu.runtime import make_flow_fn
+from pcfa_tpu.runtime import make_flow_fn_p
 from pcfa_tpu.utils import tracking
 from pcfa_tpu.utils.padder import InputPadder
 from pcfa_tpu.utils.tracking import Tracker, save_flow, save_image, save_tensor
@@ -173,14 +173,15 @@ def eval_l2_universal(args) -> dict:
             for batch, (img1, img2, flow_gt, _valid) in enumerate(_tqdm(loader)):
                 x1, x2 = common.unit_images(img1, img2)
                 if predict_jit is None:
-                    padder, flow_fn = make_flow_fn(
+                    padder, flow_fn_p = make_flow_fn_p(
                         loaded, x1.shape[1:3],
                         common.pad_mode_for(args.dataset),
                     )
 
-                    def predict(p1, p2, dd1, dd2):
-                        clean = flow_fn(p1, p2)
-                        adv = flow_fn(
+                    def predict(prm, p1, p2, dd1, dd2):
+                        clean = flow_fn_p(prm, p1, p2)
+                        adv = flow_fn_p(
+                            prm,
                             jnp.clip(p1 + dd1[None], 0.0, 1.0),
                             jnp.clip(p2 + dd2[None], 0.0, 1.0),
                         )
@@ -188,7 +189,7 @@ def eval_l2_universal(args) -> dict:
 
                     predict_jit = jax.jit(predict)
                 [p1], [p2] = padder.pad(x1), padder.pad(x2)
-                flow_pred_init, flow_pred = predict_jit(p1, p2, d1j, d2j)
+                flow_pred_init, flow_pred = predict_jit(loaded.params, p1, p2, d1j, d2j)
 
                 for i in range(p1.shape[0]):
                     curr = total_images + images_passed + i

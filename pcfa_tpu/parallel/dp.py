@@ -68,12 +68,18 @@ def universal_batch_attack_dp(
     opt_state: LBFGSState,
     config: UniversalConfig,
     mesh: Mesh,
+    params=None,
 ):
     """`universal_batch_attack` with the batch sharded over 'data'.
 
     Semantics identical to the serial version (the global-batch mean loss);
     the δ-gradient all-reduce is an explicit `lax.psum` — the system's one
-    true collective (SURVEY.md §2.6)."""
+    true collective (SURVEY.md §2.6).
+
+    `params`: optional explicit model params; when given, `flow_fn` is
+    treated as `flow_fn_p(params, x1, x2)` and the params ride through the
+    jit as a replicated argument (closures would embed the weights into the
+    compile payload — fatal for FlowNet2-sized models)."""
     cfg = config
     delta_shape = images1.shape[1:]
     if cfg.loss not in ("aee", "mse"):
@@ -82,7 +88,14 @@ def universal_batch_attack_dp(
             "losses; use the serial engine for 'cosim' (globally normalized)"
         )
 
-    def sharded_step(x1_local, x2_local, tgt_local, opt):
+    use_params = params is not None
+
+    def sharded_step(prm, x1_local, x2_local, tgt_local, opt):
+        if use_params:
+            def flow(a, b):
+                return flow_fn(prm, a, b)
+        else:
+            flow = flow_fn
         n_dev = jax.lax.psum(1, "data")
 
         def local_objective(x):
@@ -98,15 +111,16 @@ def universal_batch_attack_dp(
             d1, d2 = unpack_deltas(x, delta_shape, cfg.joint_perturbation)
             px1 = jnp.clip(x1_local + d1[None], 0.0, 1.0)
             px2 = jnp.clip(x2_local + d2[None], 0.0, 1.0)
-            flow = flow_fn(px1, px2)
+            flow_out = flow(px1, px2)
             if cfg.loss == "aee":
                 sim_local = jnp.sum(
-                    jnp.sqrt(jnp.sum((flow - tgt_local) ** 2, axis=-1))
+                    jnp.sqrt(jnp.sum((flow_out - tgt_local) ** 2, axis=-1))
                 )
-                n_local = flow.shape[0] * flow.shape[1] * flow.shape[2]
+                n_local = (flow_out.shape[0] * flow_out.shape[1]
+                           * flow_out.shape[2])
             else:  # mse: mean over every element incl. the uv channel
-                sim_local = jnp.sum((flow - tgt_local) ** 2)
-                n_local = flow.size
+                sim_local = jnp.sum((flow_out - tgt_local) ** 2)
+                n_local = flow_out.size
             sim_share = sim_local / (n_local * n_dev)
             pen_share = cfg.mu * relu_penalty(d1, d2, cfg.delta_bound) / n_dev
             return sim_share + pen_share
@@ -115,7 +129,7 @@ def universal_batch_attack_dp(
             v_loc, g = jax.value_and_grad(local_objective)(x)
             return jax.lax.psum(v_loc, "data"), g
 
-        flow_pred_init_local = flow_fn(x1_local, x2_local)
+        flow_pred_init_local = flow(x1_local, x2_local)
 
         def outer(opt, _):
             def inner(opt, pos):
@@ -127,7 +141,7 @@ def universal_batch_attack_dp(
             d1, d2 = unpack_deltas(opt.x, delta_shape, cfg.joint_perturbation)
             px1 = jnp.clip(x1_local + d1[None], 0.0, 1.0)
             px2 = jnp.clip(x2_local + d2[None], 0.0, 1.0)
-            flow = flow_fn(px1, px2)
+            flow_out = flow(px1, px2)
 
             def gmean_epe(a, b):
                 s = jnp.sum(jnp.sqrt(jnp.sum((a - b) ** 2, axis=-1)))
@@ -136,13 +150,13 @@ def universal_batch_attack_dp(
 
             metrics = UniversalMetrics(
                 loss=seg_losses[-1],
-                aee_adv_tgt=gmean_epe(flow, tgt_local),
-                aee_adv_pred=gmean_epe(flow, flow_pred_init_local),
+                aee_adv_tgt=gmean_epe(flow_out, tgt_local),
+                aee_adv_pred=gmean_epe(flow_out, flow_pred_init_local),
                 l2_delta1=two_norm_avg(d1),
                 l2_delta2=two_norm_avg(d2),
                 l2_delta12=two_norm_avg_delta(d1, d2),
             )
-            return opt, (metrics, flow)
+            return opt, (metrics, flow_out)
 
         opt, (metrics, flows) = jax.lax.scan(outer, opt, None,
                                              length=cfg.steps)
@@ -153,7 +167,8 @@ def universal_batch_attack_dp(
     fn = shard_map(
         sharded_step,
         mesh=mesh,
-        in_specs=(data, data, data, rep),
+        in_specs=(rep, data, data, data, rep),
         out_specs=(rep, rep, data, data),
     )
-    return jax.jit(fn)(images1, images2, target, opt_state)
+    return jax.jit(fn)(params if use_params else {}, images1, images2,
+                       target, opt_state)

@@ -81,22 +81,38 @@ def load_model(
     return LoadedModel(name=name, module=module, params=params, spec=spec)
 
 
-def make_flow_fn(
+def make_flow_fn_p(
     loaded: LoadedModel, image_hw: tuple[int, int], pad_mode: str = "sintel"
 ) -> tuple[InputPadder, Callable]:
-    """(padder, flow_fn) for images of spatial size `image_hw`.
+    """(padder, flow_fn_p) with EXPLICIT params:
+    `flow_fn_p(params, x1, x2)` maps PADDED unit-range (B,H',W',3) pairs →
+    UNPADDED (B,H,W,2) flow; recurrent nets' (flow_lr, flow_up) tuples
+    collapse to flow_up like `compute_flow` (`ownutilities.py:323-327`).
 
-    flow_fn maps PADDED unit-range (B,H',W',3) pairs → UNPADDED (B,H,W,2)
-    flow; recurrent nets' (flow_lr, flow_up) tuples collapse to flow_up like
-    `compute_flow` (`ownutilities.py:323-327`)."""
+    Pass `loaded.params` as a jit ARGUMENT, never a closure: closed-over
+    weights are embedded into the compile payload, which breaks remote
+    compilation for FlowNet2's 650 MB of parameters."""
     H, W = image_hw
     padder = InputPadder((H, W, 3), divisor=loaded.spec.pad_divisor,
                          mode=pad_mode)
 
-    def flow_fn(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
-        out = loaded.module.apply({"params": loaded.params}, x1, x2)
+    def flow_fn_p(params, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+        out = loaded.module.apply({"params": params}, x1, x2)
         if isinstance(out, tuple):
             out = out[-1]
         return padder.unpad(out)
+
+    return padder, flow_fn_p
+
+
+def make_flow_fn(
+    loaded: LoadedModel, image_hw: tuple[int, int], pad_mode: str = "sintel"
+) -> tuple[InputPadder, Callable]:
+    """(padder, flow_fn) with params closed over — convenient for small
+    models and tests; prefer `make_flow_fn_p` at jit boundaries."""
+    padder, flow_fn_p = make_flow_fn_p(loaded, image_hw, pad_mode)
+
+    def flow_fn(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+        return flow_fn_p(loaded.params, x1, x2)
 
     return padder, flow_fn
