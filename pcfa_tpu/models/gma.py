@@ -178,7 +178,7 @@ class GMA(nn.Module):
     num_heads: int = 1
     position_only: bool = False           # gma_config.json: false
     position_and_content: bool = False    # gma_config.json: false
-    remat: bool = True
+    remat: bool = False
 
     @nn.compact
     def __call__(self, image1: jnp.ndarray, image2: jnp.ndarray):

@@ -164,8 +164,10 @@ class RAFT(nn.Module):
     corr_radius: int = 4
     hidden_dim: int = 128
     context_dim: int = 128
-    #: remat the per-iteration update to bound autodiff memory
-    remat: bool = True
+    #: remat the per-iteration update to bound autodiff memory; off by
+    #: default — measured 14% faster fwd+bwd on v5e at KITTI size and the
+    #: activations fit HBM comfortably at attack batch sizes
+    remat: bool = False
 
     @nn.compact
     def __call__(self, image1: jnp.ndarray, image2: jnp.ndarray):

@@ -81,7 +81,7 @@ class RAFTSmall(nn.Module):
     corr_radius: int = 3
     hidden_dim: int = 96
     context_dim: int = 64
-    remat: bool = True
+    remat: bool = False
 
     @nn.compact
     def __call__(self, image1: jnp.ndarray, image2: jnp.ndarray):
