@@ -101,7 +101,14 @@ def attack_l2(args) -> dict:
         joint_perturbation=args.joint_perturbation,
     )
 
-    loader, has_gt = common.make_loader(args, batch_size=1)
+    # per-image attacks are embarrassingly parallel: with multiple devices,
+    # run one pair per device via the batch-sharded vmap (parallel/dp.py)
+    n_dev = len(jax.devices())
+    pair_chunk = n_dev if n_dev > 1 else 1
+    if pair_chunk > 1:
+        print(f"Running {pair_chunk} per-image attacks in parallel "
+              "(one pair per device)\n")
+    loader, has_gt = common.make_loader(args, batch_size=pair_chunk)
     loaded = common.load_attack_model(args)
 
     attack_jit = None
@@ -118,6 +125,14 @@ def attack_l2(args) -> dict:
 
         for batch, (img1, img2, flow_gt, _valid) in enumerate(_tqdm(loader)):
             x1, x2 = common.unit_images(img1, img2)
+            n_actual = x1.shape[0]
+            if n_actual < pair_chunk:
+                # ragged tail: pad by repeating the last pair, log/save only
+                # the real ones
+                reps = pair_chunk - n_actual
+                x1 = jnp.concatenate([x1] + [x1[-1:]] * reps)
+                x2 = jnp.concatenate([x2] + [x2[-1:]] * reps)
+                flow_gt = np.concatenate([flow_gt] + [flow_gt[-1:]] * reps)
             if attack_jit is None:
                 padder, flow_fn_p = make_flow_fn_p(
                     loaded, x1.shape[1:3], common.pad_mode_for(args.dataset)
@@ -125,108 +140,130 @@ def attack_l2(args) -> dict:
                 # params as jit ARGUMENTS (closures embed the weights into
                 # the compile payload — fatal for FlowNet2's 650 MB)
                 flow_init_fn = jax.jit(flow_fn_p)
-                attack_jit = jax.jit(
-                    lambda prm, a, b, t: pcfa_attack(
-                        functools.partial(flow_fn_p, prm), a, b, t, cfg
+                if pair_chunk > 1:
+                    from pcfa_tpu.parallel import data_mesh, pcfa_attack_dp
+
+                    mesh = data_mesh()
+                    attack_jit = lambda prm, a, b, t: pcfa_attack_dp(
+                        flow_fn_p, a, b, t, cfg, mesh, params=prm
                     )
-                )
+                else:
+                    attack_jit = jax.jit(
+                        lambda prm, a, b, t: pcfa_attack(
+                            functools.partial(flow_fn_p, prm), a, b, t, cfg
+                        )
+                    )
             [p1], [p2] = padder.pad(x1), padder.pad(x2)
 
             flow_pred_init = flow_init_fn(loaded.params, p1, p2)
             target = common.build_target(args, flow_pred_init)
-
-            curr = batch * args.steps
-            aee_tgt = common.epe(target, flow_pred_init)
-            aee_gt_tgt = common.epe(target, flow_gt) if has_gt else None
-            aee_gt = common.epe(flow_pred_init, flow_gt) if has_gt else None
-            tracker.log_metrics(curr, ("aee_pred-tgt", aee_tgt),
-                                ("aee_gt-tgt", aee_gt_tgt),
-                                ("aee_pred-gt", aee_gt))
-            tracker.log_metric("optim_mu", mu, curr)
-
             res = attack_jit(loaded.params, p1, p2, target)
-            m = jax.device_get(res.metrics)
+            m_all = jax.device_get(res.metrics)
 
-            for s in range(args.steps):
-                cs = batch * args.steps + s
-                tracker.log_metrics(
-                    cs,
-                    ("batch", batch), ("steps", s), ("epoch", 0),
-                    ("aee_predadv-tgt", m.aee_adv_tgt[s]),
-                    ("aee_pred-predadv", m.aee_adv_pred[s]),
-                    ("l2_delta1", m.l2_delta1[s]),
-                    ("l2_delta2", m.l2_delta2[s]),
-                    ("l2_delta-avg", m.l2_delta12[s]),
-                    ("aee_pred-tgt_min", m.aee_adv_tgt_min[s]),
-                    ("l2_delta-avg_min", m.l2_delta12_min[s]),
-                    ("aee_pred-predadv_min", m.aee_adv_pred_min[s]),
+            for i in range(n_actual):
+                pair = batch * pair_chunk + i
+                if pair_chunk > 1:
+                    m = jax.tree.map(lambda a: a[i], m_all)
+                    res_i = jax.tree.map(
+                        lambda a: np.asarray(a[i : i + 1]), res
+                    )
+                else:
+                    m = m_all
+                    res_i = jax.tree.map(np.asarray, res)
+                p1_i, p2_i = p1[i : i + 1], p2[i : i + 1]
+                tgt_i = target[i : i + 1]
+                fpi_i = flow_pred_init[i : i + 1]
+                gt_i = flow_gt[i : i + 1]
+
+                curr = pair * args.steps
+                aee_tgt = common.epe(tgt_i, fpi_i)
+                aee_gt_tgt = common.epe(tgt_i, gt_i) if has_gt else None
+                aee_gt = common.epe(fpi_i, gt_i) if has_gt else None
+                tracker.log_metrics(curr, ("aee_pred-tgt", aee_tgt),
+                                    ("aee_gt-tgt", aee_gt_tgt),
+                                    ("aee_pred-gt", aee_gt))
+                tracker.log_metric("optim_mu", mu, curr)
+
+                for st in range(args.steps):
+                    cs = pair * args.steps + st
+                    tracker.log_metrics(
+                        cs,
+                        ("batch", pair), ("steps", st), ("epoch", 0),
+                        ("aee_predadv-tgt", m.aee_adv_tgt[st]),
+                        ("aee_pred-predadv", m.aee_adv_pred[st]),
+                        ("l2_delta1", m.l2_delta1[st]),
+                        ("l2_delta2", m.l2_delta2[st]),
+                        ("l2_delta-avg", m.l2_delta12[st]),
+                        ("aee_pred-tgt_min", m.aee_adv_tgt_min[st]),
+                        ("l2_delta-avg_min", m.l2_delta12_min[st]),
+                        ("aee_pred-predadv_min", m.aee_adv_pred_min[st]),
+                    )
+                aee_adv_gt = (
+                    common.epe(res_i.flow_pred, gt_i) if has_gt else None
                 )
-            aee_adv_gt = (
-                common.epe(res.flow_pred, flow_gt) if has_gt else None
-            )
-            if has_gt:
-                tracker.log_metric("aee_predadv-gt", aee_adv_gt,
-                                   (batch + 1) * args.steps - 1)
-
-            if common.should_save(batch, args):
-                reg = not args.unregistered_artifacts
-                kw = dict(tracker=tracker, register=reg)
-                save_tensor(res.delta1, "delta1_final", batch, patches, **kw)
-                save_tensor(res.delta2, "delta2_final", batch, patches, **kw)
-                save_tensor(res.delta1_best, "delta1_best", batch, patches, **kw)
-                save_tensor(res.delta2_best, "delta2_best", batch, patches, **kw)
-                save_tensor(p1, "image1", batch, patches, **kw)
-                save_tensor(p2, "image2", batch, patches, **kw)
-                save_tensor(target, "target", batch, patches, **kw)
-                save_tensor(res.flow_pred, "flow_pred_final", batch, patches, **kw)
-                save_tensor(res.flow_pred_best, "flow_pred_best", batch, patches, **kw)
-                save_tensor(res.flow_pred_init, "flow_pred_init", batch, patches, **kw)
                 if has_gt:
-                    save_tensor(flow_gt, "flow_gt", batch, patches, **kw)
+                    tracker.log_metric("aee_predadv-gt", aee_adv_gt,
+                                       (pair + 1) * args.steps - 1)
 
-                save_image(p1, batch, patches, image_name="image1", **kw)
-                save_image(p2, batch, patches, image_name="image2", **kw)
-                save_image(np.asarray(p1) + np.asarray(res.delta1_best),
-                           batch, patches, image_name="image1_delta_best", **kw)
-                save_image(np.asarray(p2) + np.asarray(res.delta2_best),
-                           batch, patches, image_name="image2_delta_best", **kw)
-                max_delta = max(
-                    float(jnp.abs(res.delta1_best).max()),
-                    float(jnp.abs(res.delta2_best).max()),
-                )
-                save_image(res.delta1_best, batch, patches,
-                           image_name="delta1_best",
-                           normalize_max=max_delta or None, **kw)
-                if not args.joint_perturbation:
-                    save_image(res.delta2_best, batch, patches,
-                               image_name="delta2_best",
+                if common.should_save(pair, args):
+                    reg = not args.unregistered_artifacts
+                    kw = dict(tracker=tracker, register=reg)
+                    save_tensor(res_i.delta1, "delta1_final", pair, patches, **kw)
+                    save_tensor(res_i.delta2, "delta2_final", pair, patches, **kw)
+                    save_tensor(res_i.delta1_best, "delta1_best", pair, patches, **kw)
+                    save_tensor(res_i.delta2_best, "delta2_best", pair, patches, **kw)
+                    save_tensor(p1_i, "image1", pair, patches, **kw)
+                    save_tensor(p2_i, "image2", pair, patches, **kw)
+                    save_tensor(tgt_i, "target", pair, patches, **kw)
+                    save_tensor(res_i.flow_pred, "flow_pred_final", pair, patches, **kw)
+                    save_tensor(res_i.flow_pred_best, "flow_pred_best", pair, patches, **kw)
+                    save_tensor(res_i.flow_pred_init, "flow_pred_init", pair, patches, **kw)
+                    if has_gt:
+                        save_tensor(gt_i, "flow_gt", pair, patches, **kw)
+
+                    save_image(p1_i, pair, patches, image_name="image1", **kw)
+                    save_image(p2_i, pair, patches, image_name="image2", **kw)
+                    save_image(np.asarray(p1_i) + res_i.delta1_best,
+                               pair, patches, image_name="image1_delta_best", **kw)
+                    save_image(np.asarray(p2_i) + res_i.delta2_best,
+                               pair, patches, image_name="image2_delta_best", **kw)
+                    max_delta = max(
+                        float(np.abs(res_i.delta1_best).max()),
+                        float(np.abs(res_i.delta2_best).max()),
+                    )
+                    save_image(res_i.delta1_best, pair, patches,
+                               image_name="delta1_best",
                                normalize_max=max_delta or None, **kw)
-                mf = tracking.max_flow_length(
-                    flow_gt if has_gt else None,
-                    res.flow_pred_init, res.flow_pred_best,
-                )
-                fkw = dict(auto_scale=False, max_scale=mf, **kw)
-                save_flow(res.flow_pred_best, batch, patches,
-                          flow_name="flow_pred_best", **fkw)
-                save_flow(res.flow_pred_init, batch, patches,
-                          flow_name="flow_pred_init", **fkw)
-                save_flow(target, batch, patches, flow_name="flow_target", **fkw)
-                if has_gt:
-                    save_flow(flow_gt, batch, patches, flow_name="flow_gt", **fkw)
+                    if not args.joint_perturbation:
+                        save_image(res_i.delta2_best, pair, patches,
+                                   image_name="delta2_best",
+                                   normalize_max=max_delta or None, **kw)
+                    mf = tracking.max_flow_length(
+                        gt_i if has_gt else None,
+                        res_i.flow_pred_init, res_i.flow_pred_best,
+                    )
+                    fkw = dict(auto_scale=False, max_scale=mf, **kw)
+                    save_flow(res_i.flow_pred_best, pair, patches,
+                              flow_name="flow_pred_best", **fkw)
+                    save_flow(res_i.flow_pred_init, pair, patches,
+                              flow_name="flow_pred_init", **fkw)
+                    save_flow(tgt_i, pair, patches, flow_name="flow_target", **fkw)
+                    if has_gt:
+                        save_flow(gt_i, pair, patches, flow_name="flow_gt", **fkw)
 
-            last = args.steps - 1
-            sums["aee_tgt"] += aee_tgt
-            sums["aee_adv_tgt"] += float(m.aee_adv_tgt[last])
-            sums["aee_adv_pred"] += float(m.aee_adv_pred[last])
-            sums["l2_delta12"] += float(m.l2_delta12[last])
-            sums["aee_adv_tgt_min"] += float(m.aee_adv_tgt_min[last])
-            sums["aee_adv_pred_min"] += float(m.aee_adv_pred_min[last])
-            sums["l2_delta12_min"] += float(m.l2_delta12_min[last])
-            if has_gt:
-                sums["aee_gt"] += aee_gt
-                sums["aee_gt_tgt"] += aee_gt_tgt
-                sums["aee_adv_gt"] += aee_adv_gt
-            tests += 1
+                last = args.steps - 1
+                sums["aee_tgt"] += aee_tgt
+                sums["aee_adv_tgt"] += float(m.aee_adv_tgt[last])
+                sums["aee_adv_pred"] += float(m.aee_adv_pred[last])
+                sums["l2_delta12"] += float(m.l2_delta12[last])
+                sums["aee_adv_tgt_min"] += float(m.aee_adv_tgt_min[last])
+                sums["aee_adv_pred_min"] += float(m.aee_adv_pred_min[last])
+                sums["l2_delta12_min"] += float(m.l2_delta12_min[last])
+                if has_gt:
+                    sums["aee_gt"] += aee_gt
+                    sums["aee_gt_tgt"] += aee_gt_tgt
+                    sums["aee_adv_gt"] += aee_adv_gt
+                tests += 1
 
         averages = tracker.log_averages(
             tests,

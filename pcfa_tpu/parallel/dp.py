@@ -39,25 +39,41 @@ def pcfa_attack_dp(
     targets: jnp.ndarray,
     config: PCFAConfig,
     mesh: Mesh,
+    params=None,
 ) -> PCFAResult:
     """Independent PCFA attacks on N pairs, sharded over mesh axis 'data'.
 
     images1/2: (N, H', W', 3) padded unit images; targets (N, H, W, 2).
     N must be divisible by the mesh size. Returns a PCFAResult whose leaves
-    have a leading N axis."""
+    have a leading N axis. `params`: optional explicit model params (then
+    `flow_fn` is `flow_fn_p(params, x1, x2)`) — replicated across devices,
+    passed as a jit argument, not a closure."""
 
-    def single(x1, x2, t):
-        res = pcfa_attack(flow_fn, x1[None], x2[None], t[None], config)
+    def single(flow, x1, x2, t):
+        res = pcfa_attack(flow, x1[None], x2[None], t[None], config)
         # drop the singleton batch axis the engine adds on image-like
         # leaves (metric trajectories are (steps,) and keep their shape)
         return jax.tree.map(lambda a: a[0] if a.ndim == 4 else a, res)
 
     shard = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    if params is None:
+        fn = jax.jit(
+            jax.vmap(functools.partial(single, flow_fn)),
+            in_shardings=(shard, shard, shard),
+        )
+        return fn(images1, images2, targets)
+
     fn = jax.jit(
-        jax.vmap(single),
-        in_shardings=(shard, shard, shard),
+        jax.vmap(
+            lambda prm, a, b, t: single(
+                functools.partial(flow_fn, prm), a, b, t
+            ),
+            in_axes=(None, 0, 0, 0),
+        ),
+        in_shardings=(rep, shard, shard, shard),
     )
-    return fn(images1, images2, targets)
+    return fn(params, images1, images2, targets)
 
 
 def universal_batch_attack_dp(
