@@ -190,7 +190,9 @@ class RAFT(nn.Module):
 
         B, H8, W8, _ = net.shape
         coords0 = coords_grid(B, H8, W8)
-        coords1 = coords_grid(B, H8, W8)
+        # + 0·net: inherit data-varying-ness so the scan carry type is
+        # consistent under shard_map (vma) — a no-op otherwise
+        coords1 = coords_grid(B, H8, W8) + 0.0 * net[..., :2]
 
         body = nn.remat(RAFTScanBody) if self.remat else RAFTScanBody
         scanned = nn.scan(
