@@ -41,6 +41,51 @@ WEIGHT_PATHS = {
 }
 
 
+def _cache_path(name: str) -> str:
+    return os.path.join("models", "_converted", f"{name}.msgpack")
+
+
+def _ckpt_mtime(path: str) -> float:
+    if os.path.isdir(path):  # SpyNet per-layer weight dir
+        return max(
+            (os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)),
+            default=0.0,
+        )
+    return os.path.getmtime(path)
+
+
+def _load_converted_cached(name: str, path: str, spec) -> dict:
+    """Convert the torch checkpoint, caching the Flax tree as msgpack.
+
+    Conversion needs torch and (for FlowNet2) unpickles 650 MB — the cache
+    makes repeated CLI starts torch-free and fast. Invalidated when the
+    checkpoint is newer than the cache."""
+    from flax import serialization
+
+    cache = _cache_path(name)
+    try:
+        if os.path.exists(cache) and (
+            os.path.getmtime(cache) >= _ckpt_mtime(path)
+        ):
+            with open(cache, "rb") as f:
+                return serialization.msgpack_restore(f.read())
+    except OSError:
+        pass
+
+    params = spec.convert(path)
+    try:
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tmp = cache + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(serialization.msgpack_serialize(
+                jax.tree.map(lambda a: __import__("numpy").asarray(a), params)
+            ))
+        os.replace(tmp, cache)
+    except OSError:
+        pass  # cache is best-effort
+    return params
+
+
 @dataclasses.dataclass
 class LoadedModel:
     name: str
@@ -65,7 +110,7 @@ def load_model(
     path = checkpoint or WEIGHT_PATHS.get(name)
 
     if path and os.path.exists(path):
-        params = spec.convert(path)
+        params = _load_converted_cached(name, path, spec)
     elif init_random:
         d = spec.pad_divisor
         x = jnp.zeros((1, 2 * d, 2 * d, 3), jnp.float32)

@@ -44,3 +44,43 @@ def test_all_registered_models_have_weight_paths():
         if name == "RAFT-small":  # no shipped checkpoint in the reference
             continue
         assert name in WEIGHT_PATHS
+
+
+def test_converted_param_cache(tmp_path, monkeypatch, rng):
+    """Conversion result is cached as msgpack and reloaded torch-free."""
+    import torch
+
+    import pcfa_tpu.runtime as rt
+
+    # build a fake SpyNet weight dir (per-layer files, `SpyNet.py:77-81`)
+    wdir = tmp_path / "spynet_weights"
+    wdir.mkdir()
+    chans = [(8, 32), (32, 64), (64, 32), (32, 16), (16, 2)]
+    for lvl in range(1, 7):
+        for j, (cin, cout) in enumerate(chans, 1):
+            torch.save(torch.randn(cout, cin, 7, 7),
+                       wdir / f"modelL{lvl}_F-{j}-weight.pth.tar")
+            torch.save(torch.randn(cout), wdir / f"modelL{lvl}_F-{j}-bias.pth.tar")
+
+    monkeypatch.setattr(rt, "_cache_path",
+                        lambda name: str(tmp_path / f"{name}.msgpack"))
+    l1 = rt.load_model("SpyNet", checkpoint=str(wdir))
+    assert (tmp_path / "SpyNet.msgpack").exists()
+
+    # second load comes from the cache and matches exactly
+    import dataclasses
+
+    from pcfa_tpu.models import spec as spec_mod
+
+    def no_convert(path):
+        raise AssertionError("converter should not run on cache hit")
+
+    monkeypatch.setitem(
+        spec_mod._REGISTRY, "SpyNet",
+        dataclasses.replace(l1.spec, convert=no_convert),
+    )
+    l2 = rt.load_model("SpyNet", checkpoint=str(wdir))
+    a = jax.tree.leaves(l1.params)
+    b = jax.tree.leaves(l2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
