@@ -124,7 +124,9 @@ def main():
         for _ in range(steps):
             state, metrics, _ = step_jit(params, x1, x2, target,
                                          flow_pred_init, state)
-        jax.block_until_ready(state.opt.x)
+        # force completion with a value fetch: through tunneled backends
+        # `block_until_ready` does not actually wait (CLAUDE.md)
+        _ = float(metrics.loss)
         return metrics
 
     t0 = time.perf_counter()

@@ -38,6 +38,17 @@ def debug_nans(enable: bool = True):
         jax.config.update("jax_debug_nans", prev)
 
 
+def fetch_fence(tree) -> float:
+    """Force completion by fetching one scalar from the output tree.
+
+    Through tunneled backends (axon) `jax.block_until_ready` does NOT wait;
+    only value fetches do. Returns the fetched scalar."""
+    import jax.numpy as jnp
+
+    leaf = jax.tree.leaves(tree)[0]
+    return float(jnp.sum(leaf.ravel()[:1]))
+
+
 @dataclass
 class StepTimer:
     """Accumulates fenced per-step wall times.

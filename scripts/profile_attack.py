@@ -23,15 +23,21 @@ import numpy as np
 
 
 def fenced(fn, *args, n=3):
+    """NOTE: through tunneled backends block_until_ready does not wait;
+    fetch one scalar to force completion. The fetch adds a fixed roundtrip
+    (~0.5s on axon) — treat small absolute numbers as upper bounds."""
     import jax
+    import jax.numpy as jnp
 
-    out = fn(*args)
-    jax.block_until_ready(out)
+    def fence(out):
+        leaf = jax.tree.leaves(out)[0]
+        return float(jnp.sum(leaf.ravel()[:1]))
+
+    fence(fn(*args))
     times = []
     for _ in range(n):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        fence(fn(*args))
         times.append(time.perf_counter() - t0)
     return min(times)
 
