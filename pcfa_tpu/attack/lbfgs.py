@@ -78,10 +78,12 @@ def _two_loop(
     h_diag: jnp.ndarray,
     count: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Two-loop recursion over a ring buffer, masked beyond `count` entries.
+    """Two-loop recursion over a ring buffer of `count` valid entries.
 
-    Invalid slots contribute exactly zero (their α and β vanish), so a fixed
-    m-length loop reproduces torch's variable-length history."""
+    Loop bounds are the (traced) valid count: entries beyond it would
+    contribute exactly zero, so skipping them is exact — and each loop trip
+    streams two (m, n) buffer rows, which dominates the optimizer cost at
+    torch's default history_size=100."""
     m = y_buf.shape[0]
     num_valid = jnp.minimum(count, m)
 
@@ -91,21 +93,19 @@ def _two_loop(
     def backward(k, carry):
         q, al = carry
         i = jnp.mod(count - 1 - k, m)  # newest first
-        valid = k < num_valid
-        a = jnp.where(valid, ro_buf[i] * jnp.dot(s_buf[i], q), 0.0)
+        a = ro_buf[i] * jnp.dot(s_buf[i], q)
         q = q - a * y_buf[i]
         return q, al.at[i].set(a)
 
-    q, al = jax.lax.fori_loop(0, m, backward, (q0, al0))
+    q, al = jax.lax.fori_loop(0, num_valid, backward, (q0, al0))
     d0 = q * h_diag
 
     def forward(k, d):
         i = jnp.mod(count - num_valid + k, m)  # oldest first
-        valid = k < num_valid
-        be = jnp.where(valid, ro_buf[i] * jnp.dot(y_buf[i], d), 0.0)
+        be = ro_buf[i] * jnp.dot(y_buf[i], d)
         return d + s_buf[i] * (al[i] - be)
 
-    return jax.lax.fori_loop(0, m, forward, d0)
+    return jax.lax.fori_loop(0, num_valid, forward, d0)
 
 
 def lbfgs_iteration(
