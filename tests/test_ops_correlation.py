@@ -108,3 +108,23 @@ def test_channel_norm(rng):
     np.testing.assert_allclose(
         out[..., 0], np.sqrt((x**2).sum(-1)), atol=1e-5
     )
+
+
+def test_corr_lookup_mm_equals_gather(rng):
+    """Gather-free separable-matmul lookup == the gather formulation,
+    values and pyramid-gradients (SURVEY.md §2.5 #5)."""
+    import jax
+
+    f1 = jnp.asarray(rng.standard_normal((2, 16, 24, 32)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((2, 16, 24, 32)), jnp.float32)
+    pyr = correlation.corr_pyramid(correlation.allpairs_correlation(f1, f2), 4)
+    coords = jnp.asarray(rng.uniform(-3, 27, (2, 16, 24, 2)), jnp.float32)
+
+    a = correlation.corr_lookup(pyr, coords, 4)
+    b = correlation.corr_lookup_mm(pyr, coords, 4)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    ga = jax.grad(lambda p: jnp.sum(correlation.corr_lookup(p, coords, 4) ** 2))(pyr)
+    gb = jax.grad(lambda p: jnp.sum(correlation.corr_lookup_mm(p, coords, 4) ** 2))(pyr)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4)
