@@ -71,6 +71,10 @@ class RuntimeConfig:
     def apply(self) -> None:
         import jax
 
-        jax.config.update("jax_default_matmul_precision", self.matmul_precision)
+        # PCFA_MATMUL_PRECISION overrides (perf experiments; 'default' is
+        # bf16-based and trades the 1%-AEE parity budget for speed)
+        precision = os.environ.get("PCFA_MATMUL_PRECISION",
+                                   self.matmul_precision)
+        jax.config.update("jax_default_matmul_precision", precision)
         if self.debug_nans:
             jax.config.update("jax_debug_nans", True)
