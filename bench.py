@@ -72,6 +72,12 @@ def main():
                     help="re-measure the torch CPU baseline (slow)")
     ap.add_argument("--pairs", type=int, default=1,
                     help="number of timed attack runs")
+    ap.add_argument("--net", default="RAFT",
+                    choices=["RAFT", "GMA", "PWCNet", "SpyNet", "FlowNet2",
+                             "RAFT-small"],
+                    help="network under attack (default: the north-star "
+                    "RAFT config; the CPU baseline constant applies to "
+                    "RAFT only)")
     args = ap.parse_args()
 
     if SMOKE:
@@ -92,12 +98,19 @@ def main():
     dev = jax.devices()[0]
     print(f"# device: {dev.platform}:{dev.device_kind}", file=sys.stderr)
 
-    model, _ = make_model("RAFT", iters=raft_iters)
+    overrides = {"iters": raft_iters} if args.net in ("RAFT", "GMA",
+                                                      "RAFT-small") else {}
+    model, spec = make_model(args.net, **overrides)
+    # pad the KITTI-ish size up to the net's divisor
+    d = spec.pad_divisor
+    H = ((H + d - 1) // d) * d
+    W = ((W + d - 1) // d) * d
     x = jnp.zeros((1, H, W, 3), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x, x)["params"]
 
     def flow_fn_p(prm, a, b):
-        return model.apply({"params": prm}, a, b)[1]
+        out = model.apply({"params": prm}, a, b)
+        return out[-1] if isinstance(out, tuple) else out
 
     cfg = PCFAConfig(steps=steps, max_iter=max_iter, delta_bound=0.005,
                      boxconstraint="clipping")
@@ -151,8 +164,8 @@ def main():
 
     print(json.dumps({
         "metric": "attacked frame-pairs/sec/chip "
-                  "(RAFT-12it PCFA steps=20 maxiter=10, KITTI-size)"
-                  + (" [SMOKE]" if SMOKE else ""),
+                  f"({args.net} PCFA steps={steps} maxiter={max_iter}, "
+                  "KITTI-size)" + (" [SMOKE]" if SMOKE else ""),
         "value": round(value, 6),
         "unit": "pairs/s/chip",
         "vs_baseline": round(value / baseline, 2),

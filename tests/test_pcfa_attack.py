@@ -96,3 +96,33 @@ def test_best_delta_under_bound_when_latched(spynet_fn, image_pair):
     ever_below = bool(np.any(np.asarray(m.l2_delta12) <= cfg.delta_bound))
     if ever_below:
         assert float(m.l2_delta12_min[-1]) <= cfg.delta_bound + 1e-7
+
+
+def test_fgsm_step_semantics(spynet_fn, image_pair):
+    """I-FGSM unit semantics (`attack_FGSM.py:21-56`): targeted descent,
+    clipping to [0,1], joint mode averages the two gradients."""
+    from pcfa_tpu.attack.fgsm import FGSMConfig, fgsm_attack
+
+    x1, x2 = image_pair
+    target = jnp.zeros_like(spynet_fn(x1, x2))
+    eps = 0.01
+
+    res = jax.jit(lambda a, b, t: fgsm_attack(
+        spynet_fn, a, b, t, FGSMConfig(steps=1, epsilon=eps)
+    ))(x1, x2, target)
+    d1 = np.asarray(res.delta1)
+    # one step: delta is -eps*sign(grad) clipped into [0,1]-x; magnitudes
+    # never exceed eps
+    assert np.abs(d1).max() <= eps + 1e-6
+    assert (np.abs(np.abs(d1[np.abs(d1) > 1e-8]) - eps) < 1e-4).mean() > 0.5
+
+    resj = jax.jit(lambda a, b, t: fgsm_attack(
+        spynet_fn, a, b, t,
+        FGSMConfig(steps=1, epsilon=eps, joint_perturbation=True)
+    ))(x1, x2, target)
+    # joint: both images get the SAME sign pattern (averaged grad)
+    s1 = np.sign(np.asarray(resj.delta1))
+    s2 = np.sign(np.asarray(resj.delta2))
+    inner = (np.abs(np.asarray(resj.delta1)) > 1e-8) & (
+        np.abs(np.asarray(resj.delta2)) > 1e-8)
+    assert (s1[inner] == s2[inner]).all()
