@@ -104,10 +104,11 @@ def attack_l2(args) -> dict:
     # per-image attacks are embarrassingly parallel: with multiple devices,
     # run one pair per device via the batch-sharded vmap (parallel/dp.py)
     n_dev = len(jax.devices())
-    pair_chunk = n_dev if n_dev > 1 else 1
+    pair_chunk = n_dev * max(1, args.pairs_per_device)
     if pair_chunk > 1:
         print(f"Running {pair_chunk} per-image attacks in parallel "
-              "(one pair per device)\n")
+              f"({max(1, args.pairs_per_device)} per device × {n_dev} "
+              "devices)\n")
     loader, has_gt = common.make_loader(args, batch_size=pair_chunk)
     loaded = common.load_attack_model(args)
 

@@ -102,6 +102,12 @@ def create_parser(stage=None, attack_type=None) -> argparse.ArgumentParser:
         "should be applied to network input images 1 and 2.",
     )
     global_dist_args.add_argument(
+        "--pairs_per_device", default=1, type=int,
+        help="[extension] number of per-image attacks vmapped per device "
+        "(batches network passes on the MXU; results are identical per "
+        "pair)",
+    )
+    global_dist_args.add_argument(
         "--steps", default=20, type=int,
         help="the number of optimization steps per image (for non-universal "
         "perturbations only).",
