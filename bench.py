@@ -103,6 +103,9 @@ def main():
 
     overrides = {"iters": raft_iters} if args.net in ("RAFT", "GMA",
                                                       "RAFT-small") else {}
+    if args.batch > 1 and args.net in ("RAFT", "GMA", "RAFT-small"):
+        # batched pairs: trade recompute for activation memory
+        overrides["remat"] = True
     model, spec = make_model(args.net, **overrides)
     # pad the KITTI-ish size up to the net's divisor
     d = spec.pad_divisor
