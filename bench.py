@@ -72,6 +72,9 @@ def main():
                     help="re-measure the torch CPU baseline (slow)")
     ap.add_argument("--pairs", type=int, default=1,
                     help="number of timed attack runs")
+    ap.add_argument("--size", default=None,
+                    help="HxW frame size before padding (default "
+                    "375x1242 = KITTI; e.g. 436x1024 = Sintel)")
     ap.add_argument("--batch", type=int, default=1,
                     help="pairs vmapped per chip (throughput scales with "
                     "batch until HBM/MXU saturate; value = pairs/sec)")
@@ -87,6 +90,8 @@ def main():
         H, W, steps, max_iter, raft_iters = 128, 128, 2, 2, 2
     else:
         H, W, steps, max_iter, raft_iters = 376, 1248, 20, 10, 12
+    if args.size:
+        H, W = (int(v) for v in args.size.split("x"))
 
     import functools
 
@@ -177,7 +182,7 @@ def main():
     print(json.dumps({
         "metric": "attacked frame-pairs/sec/chip "
                   f"({args.net} PCFA steps={steps} maxiter={max_iter}, "
-                  "KITTI-size)" + (" [SMOKE]" if SMOKE else ""),
+                  f"{H}x{W})" + (" [SMOKE]" if SMOKE else ""),
         "value": round(value, 6),
         "unit": "pairs/s/chip",
         "vs_baseline": round(value / baseline, 2),
