@@ -126,3 +126,37 @@ def test_fgsm_step_semantics(spynet_fn, image_pair):
     inner = (np.abs(np.asarray(resj.delta1)) > 1e-8) & (
         np.abs(np.asarray(resj.delta2)) > 1e-8)
     assert (s1[inner] == s2[inner]).all()
+
+
+def test_universal_engine_semantics(spynet_fn, image_pair):
+    """Universal engine unit checks: δ broadcast over the batch, state
+    persists across calls, metrics improve toward the target."""
+    from pcfa_tpu.attack.universal import (
+        UniversalConfig,
+        universal_batch_attack,
+        universal_init,
+        unpack_deltas,
+    )
+
+    x1, x2 = image_pair
+    batch1 = jnp.concatenate([x1, x2])  # 2 'pairs' from the two frames
+    batch2 = jnp.concatenate([x2, x1])
+    target = jnp.zeros((2, H, W, 2), jnp.float32)
+    cfg = UniversalConfig(steps=2, max_iter=3, delta_bound=0.02, mu=1000.0)
+
+    opt = universal_init((H, W, 3), cfg)
+    assert opt.x.shape == (2 * H * W * 3,)  # disjoint: δ1 and δ2
+
+    step = jax.jit(lambda a, b, t, o: universal_batch_attack(
+        spynet_fn, a, b, t, o, cfg))
+    opt1, m1, _, _ = step(batch1, batch2, target, opt)
+    opt2, m2, _, _ = step(batch2, batch1, target, opt1)  # state persists
+    assert float(m2.aee_adv_tgt[-1]) < float(m1.aee_adv_tgt[0])
+    d1, d2 = unpack_deltas(opt2.x, (H, W, 3), False)
+    assert d1.shape == (H, W, 3) and np.isfinite(np.asarray(d1)).all()
+    # joint mode shares one δ
+    cfgj = UniversalConfig(steps=1, max_iter=2, joint_perturbation=True)
+    optj = universal_init((H, W, 3), cfgj)
+    assert optj.x.shape == (H * W * 3,)
+    ja, jb = unpack_deltas(optj.x, (H, W, 3), True)
+    assert ja is jb
