@@ -27,6 +27,11 @@ import time
 
 import numpy as np
 
+if os.environ.get("PCFA_CPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 # measured on this machine (see module docstring / BASELINE.md)
 CPU_BASELINE_PAIRS_PER_SEC = 2.175e-4
 
@@ -78,6 +83,11 @@ def main():
     ap.add_argument("--batch", type=int, default=1,
                     help="pairs vmapped per chip (throughput scales with "
                     "batch until HBM/MXU saturate; value = pairs/sec)")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="outer steps fused per device dispatch (lax.scan); "
+                    "0 = one dispatch per outer step. Larger chunks amortize "
+                    "the per-dispatch overhead of tunneled backends but "
+                    "raise per-program runtime (tunnel watchdog).")
     ap.add_argument("--net", default="RAFT",
                     choices=["RAFT", "GMA", "PWCNet", "SpyNet", "FlowNet2",
                              "RAFT-small"],
@@ -99,7 +109,7 @@ def main():
     import jax.numpy as jnp
 
     from pcfa_tpu.attack.pcfa import PCFAConfig, pcfa_init, pcfa_outer_step
-    from pcfa_tpu.config import RuntimeConfig
+    from pcfa_tpu.config import RuntimeConfig, lbfgs_direction
     from pcfa_tpu.models import make_model
 
     RuntimeConfig().apply()
@@ -124,7 +134,8 @@ def main():
         return out[-1] if isinstance(out, tuple) else out
 
     cfg = PCFAConfig(steps=steps, max_iter=max_iter, delta_bound=0.005,
-                     boxconstraint="clipping")
+                     boxconstraint="clipping",
+                     lbfgs_direction=lbfgs_direction())
     B = args.batch
     rng = np.random.default_rng(0)
     x1 = jnp.asarray(rng.random((B, 1, H, W, 3)), jnp.float32)
@@ -139,24 +150,30 @@ def main():
                                     cfg),
         in_axes=(None, 0, 0),
     ))
+    chunk = max(1, args.chunk)
+
+    def outer_chunk(prm, a, b, t, fpi, s):
+        fn = functools.partial(flow_fn_p, prm)
+
+        def body(s, _):
+            s, metrics, _ = pcfa_outer_step(fn, a, b, t, fpi, s, cfg)
+            return s, metrics
+
+        return jax.lax.scan(body, s, None, length=chunk)
+
     step_jit = jax.jit(
-        jax.vmap(
-            lambda prm, a, b, t, fpi, s: pcfa_outer_step(
-                functools.partial(flow_fn_p, prm), a, b, t, fpi, s, cfg
-            ),
-            in_axes=(None, 0, 0, 0, 0, 0),
-        ),
+        jax.vmap(outer_chunk, in_axes=(None, 0, 0, 0, 0, 0)),
         donate_argnums=(5,),  # PCFA state (L-BFGS history buffers)
     )
 
     def run_pair():
         state, flow_pred_init = init_jit(params, x1, x2)
-        for _ in range(steps):
-            state, metrics, _ = step_jit(params, x1, x2, target,
-                                         flow_pred_init, state)
+        for _ in range(-(-steps // chunk)):
+            state, metrics = step_jit(params, x1, x2, target,
+                                      flow_pred_init, state)
         # force completion with a value fetch: through tunneled backends
         # `block_until_ready` does not actually wait (CLAUDE.md)
-        _ = float(metrics.loss[0])
+        _ = float(metrics.loss[0, -1])
         return metrics
 
     t0 = time.perf_counter()

@@ -108,6 +108,69 @@ def _two_loop(
     return jax.lax.fori_loop(0, num_valid, forward, d0)
 
 
+def _compact_direction(
+    grad: jnp.ndarray,
+    y_buf: jnp.ndarray,
+    s_buf: jnp.ndarray,
+    h_diag: jnp.ndarray,
+    count: jnp.ndarray,
+) -> jnp.ndarray:
+    """MXU-friendly direction via the compact inverse-BFGS representation.
+
+    Byrd–Nocedal–Schnabel (1994, Thm 2.2), with H0 = γI:
+
+        H = γI + [S  γY] [[ R⁻ᵀ(D + γYᵀY)R⁻¹   −R⁻ᵀ ]  [ Sᵀ ]
+                          [ −R⁻¹                 0   ]] [ γYᵀ ]
+
+    where R = triu(SᵀY), D = diag(SᵀY), rows of S/Y ordered oldest→newest.
+    Algebraically identical to the two-loop recursion, but the O(m) sequential
+    ring-buffer walk (m HBM-latency-bound trips of two (n,) rows each) becomes
+    two (m,n)@(n,m) Gram matmuls + four (m,n) matvec streams — MXU work at
+    HBM speed-of-light, plus O(m²) triangular solves on tiny (m,m) operands.
+    The (m,n) buffers stay in ring order; only (m,)/(m,m) operands are
+    permuted to chronological order for the triangular structure.
+    """
+    m = y_buf.shape[0]
+    num_valid = jnp.minimum(count, m)
+    start = jnp.where(count < m, 0, jnp.mod(count, m))
+    ranks = jnp.arange(m, dtype=jnp.int32)
+    perm = jnp.mod(start + ranks, m)      # chronological rank -> ring index
+    valid = ranks < num_valid             # in rank space
+
+    gamma = h_diag
+    gram_sy = s_buf @ y_buf.T             # SᵀY (ring order)
+    gram_yy = y_buf @ y_buf.T             # YᵀY
+    sg = s_buf @ grad                     # Sᵀg
+    yg = y_buf @ grad                     # Yᵀg
+
+    sy = gram_sy[perm][:, perm]
+    yy = gram_yy[perm][:, perm]
+    p1 = jnp.where(valid, sg[perm], 0.0)
+    p2 = jnp.where(valid, yg[perm], 0.0)
+
+    both = valid[:, None] & valid[None, :]
+    r_mat = jnp.where(both & (ranks[:, None] <= ranks[None, :]), sy, 0.0)
+    # unit diagonal on invalid ranks: solves act as identity there, and the
+    # corresponding coefficients are zeroed below anyway
+    r_mat = r_mat + jnp.diag(jnp.where(valid, 0.0, 1.0).astype(grad.dtype))
+    d_diag = jnp.where(valid, jnp.diag(sy), 0.0)
+    yy_m = jnp.where(both, yy, 0.0)
+
+    q = jax.scipy.linalg.solve_triangular(r_mat, p1, lower=False)  # R⁻¹Sᵀg
+    t_vec = d_diag * q + gamma * (yy_m @ q) - gamma * p2
+    top = jax.scipy.linalg.solve_triangular(
+        r_mat, t_vec, lower=False, trans="T"
+    )
+    top = jnp.where(valid, top, 0.0)
+    bot = jnp.where(valid, -q, 0.0)
+
+    # scatter tiny coefficient vectors back to ring order
+    top_r = jnp.zeros((m,), grad.dtype).at[perm].set(top)
+    bot_r = jnp.zeros((m,), grad.dtype).at[perm].set(bot)
+    hg = gamma * grad + top_r @ s_buf + gamma * (bot_r @ y_buf)
+    return -hg
+
+
 def lbfgs_iteration(
     value_and_grad_fn: Callable[[jnp.ndarray], tuple[jnp.ndarray, jnp.ndarray]],
     state: LBFGSState,
@@ -115,6 +178,7 @@ def lbfgs_iteration(
     lr: float = 1.0,
     tolerance_grad: float = 1e-7,
     tolerance_change: float = 1e-9,
+    direction: str = "two_loop",
 ) -> tuple[LBFGSState, jnp.ndarray]:
     """One uniform L-BFGS iteration; `pos` is the index within the current
     `.step()` segment (0..max_iter-1). Returns (new_state, loss-at-entry)."""
@@ -152,8 +216,11 @@ def lbfgs_iteration(
     count = jnp.where(push, state.count + 1, state.count)
     h_diag = jnp.where(push, ys / jnp.dot(y, y), state.h_diag)
 
-    d_two_loop = _two_loop(grad, y_buf, s_buf, ro_buf, h_diag, count)
-    d = jnp.where(first, -grad, d_two_loop)
+    if direction == "compact":
+        d_hist = _compact_direction(grad, y_buf, s_buf, h_diag, count)
+    else:
+        d_hist = _two_loop(grad, y_buf, s_buf, ro_buf, h_diag, count)
+    d = jnp.where(first, -grad, d_hist)
     t = jnp.where(
         first, jnp.minimum(1.0, 1.0 / jnp.sum(jnp.abs(grad))) * lr, lr
     ).astype(state.x.dtype)
@@ -193,6 +260,7 @@ def lbfgs_run(
     max_iter: int = 10,
     history_size: int = 100,
     lr: float = 1.0,
+    direction: str = "two_loop",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Convenience driver: `num_steps` torch-style `.step()` segments of
     `max_iter` iterations each, as one lax.scan. Returns (x_final, losses)."""
@@ -200,7 +268,8 @@ def lbfgs_run(
 
     def body(state, j):
         pos = jnp.mod(j, max_iter)
-        state, loss = lbfgs_iteration(value_and_grad_fn, state, pos, lr)
+        state, loss = lbfgs_iteration(value_and_grad_fn, state, pos, lr,
+                                      direction=direction)
         return state, loss
 
     state, losses = jax.lax.scan(

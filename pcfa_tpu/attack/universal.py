@@ -45,6 +45,7 @@ class UniversalConfig:
     joint_perturbation: bool = False
     lr: float = 1.0
     history_size: int = 100
+    lbfgs_direction: str = "two_loop"   # see PCFAConfig.lbfgs_direction
 
 
 class UniversalMetrics(NamedTuple):
@@ -112,7 +113,8 @@ def universal_batch_attack(
 
     def outer(opt, _):
         def inner(opt, pos):
-            return lbfgs_iteration(value_and_grad, opt, pos, lr=cfg.lr)
+            return lbfgs_iteration(value_and_grad, opt, pos, lr=cfg.lr,
+                                   direction=cfg.lbfgs_direction)
 
         opt, seg_losses = jax.lax.scan(
             inner, opt, jnp.arange(cfg.max_iter, dtype=jnp.int32)

@@ -22,6 +22,7 @@ from pcfa_tpu.attack.universal import (
     universal_init,
     unpack_deltas,
 )
+from pcfa_tpu import config
 from pcfa_tpu.cli import common
 from pcfa_tpu.cli.parsing import create_parser
 from tqdm import tqdm as _tqdm
@@ -99,6 +100,7 @@ def attack_l2(args) -> dict:
         target=args.target,
         boxconstraint=args.boxconstraint,
         joint_perturbation=args.joint_perturbation,
+        lbfgs_direction=config.lbfgs_direction(),
     )
 
     # per-image attacks are embarrassingly parallel: with multiple devices,
@@ -302,6 +304,7 @@ def attack_l2_universal(args) -> dict:
         mu=mu,
         loss=args.loss,
         joint_perturbation=args.joint_perturbation,
+        lbfgs_direction=config.lbfgs_direction(),
     )
 
     loader, has_gt = common.make_loader(

@@ -56,6 +56,14 @@ def paths(name: str) -> str:
     return getattr(PathsConfig.load(), name)
 
 
+def lbfgs_direction() -> str:
+    """L-BFGS direction algorithm: 'two_loop' (torch-identical rounding) or
+    'compact' (Byrd–Nocedal–Schnabel matmul form — algebraically identical,
+    much cheaper on TPU at torch's default history_size=100). Env knob
+    PCFA_LBFGS_DIRECTION for perf experiments."""
+    return os.environ.get("PCFA_LBFGS_DIRECTION", "two_loop")
+
+
 @dataclasses.dataclass(frozen=True)
 class RuntimeConfig:
     """Device / precision configuration (replaces `Conf` in config_paths.py:24-35).

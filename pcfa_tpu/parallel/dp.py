@@ -149,7 +149,8 @@ def universal_batch_attack_dp(
 
         def outer(opt, _):
             def inner(opt, pos):
-                return lbfgs_iteration(value_and_grad, opt, pos, lr=cfg.lr)
+                return lbfgs_iteration(value_and_grad, opt, pos, lr=cfg.lr,
+                                       direction=cfg.lbfgs_direction)
 
             opt, seg_losses = jax.lax.scan(
                 inner, opt, jnp.arange(cfg.max_iter, dtype=jnp.int32)

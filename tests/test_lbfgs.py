@@ -130,6 +130,63 @@ def test_converged_point_is_fixed(rng):
     np.testing.assert_allclose(np.asarray(x_final), 0.0, atol=1e-6)
 
 
+@pytest.mark.parametrize("history_size,max_iter,num_steps", [
+    (100, 10, 3),   # partial fill (count < m)
+    (7, 5, 6),      # wrapped ring buffer (count > m)
+])
+def test_compact_direction_matches_two_loop(rng, history_size, max_iter,
+                                            num_steps):
+    """Byrd–Nocedal–Schnabel compact form == two-loop recursion, including
+    partially-filled and wrapped ring buffers."""
+    n = 16
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    Q = jnp.asarray(A @ A.T + 4.0 * np.eye(n, dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    x0 = rng.standard_normal(n).astype(np.float32)
+
+    def f(x):
+        return 0.5 * x @ Q @ x - b @ x
+
+    vag = jax.value_and_grad(f)
+    st_tl = lbfgs.lbfgs_init(jnp.asarray(x0), history_size)
+    st_cp = lbfgs.lbfgs_init(jnp.asarray(x0), history_size)
+    for _ in range(num_steps):
+        for pos in range(max_iter):
+            st_tl, _ = lbfgs.lbfgs_iteration(vag, st_tl, jnp.asarray(pos))
+            st_cp, _ = lbfgs.lbfgs_iteration(vag, st_cp, jnp.asarray(pos),
+                                             direction="compact")
+            # per-iteration direction agreement (before fp drift compounds)
+            np.testing.assert_allclose(
+                np.asarray(st_cp.d), np.asarray(st_tl.d),
+                rtol=2e-3, atol=1e-5,
+            )
+            st_cp = st_cp._replace(x=st_tl.x, d=st_tl.d,
+                                   prev_grad=st_tl.prev_grad,
+                                   y_buf=st_tl.y_buf, s_buf=st_tl.s_buf)
+
+
+def test_compact_matches_torch(rng):
+    """Full-trajectory torch parity also holds with the compact direction."""
+    n = 20
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    Q = A @ A.T + 5.0 * np.eye(n, dtype=np.float32)
+    b = rng.standard_normal(n).astype(np.float32)
+    x0 = rng.standard_normal(n).astype(np.float32)
+
+    tQ, tb = torch.from_numpy(Q), torch.from_numpy(b)
+    jQ, jb = jnp.asarray(Q), jnp.asarray(b)
+    ref = _torch_trajectory(lambda x: 0.5 * x @ tQ @ x - tb @ x, x0, 3, 10, 100)
+
+    vag = jax.value_and_grad(lambda x: 0.5 * x @ jQ @ x - jb @ x)
+    state = lbfgs.lbfgs_init(jnp.asarray(x0), 100)
+    for step in range(3):
+        for pos in range(10):
+            state, _ = lbfgs.lbfgs_iteration(vag, state, jnp.asarray(pos),
+                                             direction="compact")
+        np.testing.assert_allclose(np.asarray(state.x), ref[step], atol=5e-4,
+                                   err_msg=f"outer step {step}")
+
+
 def test_scan_run_matches_python_loop(rng):
     n = 10
     A = rng.standard_normal((n, n)).astype(np.float32)
