@@ -129,9 +129,19 @@ def main():
     x = jnp.zeros((1, H, W, 3), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x, x)["params"]
 
+    # PCFA_COMPUTE_DTYPE=bfloat16: run the whole network (params,
+    # activations, corr volume storage) in bf16, flow + attack math in fp32.
+    # More aggressive than PCFA_MATMUL_PRECISION=default (which only affects
+    # matmul operand precision, leaving all HBM traffic fp32).
+    cdtype = os.environ.get("PCFA_COMPUTE_DTYPE")
+
     def flow_fn_p(prm, a, b):
+        if cdtype:
+            prm = jax.tree.map(lambda t: t.astype(cdtype), prm)
+            a, b = a.astype(cdtype), b.astype(cdtype)
         out = model.apply({"params": prm}, a, b)
-        return out[-1] if isinstance(out, tuple) else out
+        out = out[-1] if isinstance(out, tuple) else out
+        return out.astype(jnp.float32)
 
     cfg = PCFAConfig(steps=steps, max_iter=max_iter, delta_bound=0.005,
                      boxconstraint="clipping",

@@ -153,6 +153,8 @@ class GMAScanBody(nn.Module):
         coords1 = jax.lax.stop_gradient(coords1)  # network.py:108
         corr = corr_lookup_mm(list(pyramid), coords1, self.corr_radius)
         flow = coords1 - coords0
+        # keep bf16 compute dtypes from being promoted by the fp32 coords
+        corr, flow = corr.astype(net.dtype), flow.astype(net.dtype)
         motion = BasicMotionEncoder(name="encoder")(flow, corr)
         motion_global = Aggregate(
             heads=self.heads, dim_head=128, dim=128, name="aggregator"

@@ -133,14 +133,31 @@ class RAFTScanBody(nn.Module):
 
     hidden_dim: int = 128
     corr_radius: int = 4
+    #: spatial (context-parallel analog) sharding: when set, `pyramid` holds
+    #: only this device's row shard of the correlation volume; the lookup
+    #: runs on the local coordinate rows and the (tiny) corr features are
+    #: re-assembled with one tiled all_gather over the named mesh axis
+    spatial_axis: str | None = None
+    spatial_shards: int = 1
 
     @nn.compact
     def __call__(self, carry, const):
         net, coords1 = carry
         inp, coords0, pyramid = const
         coords1 = jax.lax.stop_gradient(coords1)  # raft.py:123
-        corr = corr_lookup_mm(list(pyramid), coords1, self.corr_radius)
+        if self.spatial_axis is not None:
+            hs = coords1.shape[1] // self.spatial_shards
+            r0 = jax.lax.axis_index(self.spatial_axis) * hs
+            c_loc = jax.lax.dynamic_slice_in_dim(coords1, r0, hs, axis=1)
+            corr_loc = corr_lookup_mm(list(pyramid), c_loc, self.corr_radius)
+            corr = jax.lax.all_gather(corr_loc, self.spatial_axis,
+                                      axis=1, tiled=True)
+        else:
+            corr = corr_lookup_mm(list(pyramid), coords1, self.corr_radius)
         flow = coords1 - coords0
+        # coords stay fp32 (pixel positions); under a bf16 compute dtype the
+        # network features must not be silently promoted back to fp32
+        corr, flow = corr.astype(net.dtype), flow.astype(net.dtype)
         motion = BasicMotionEncoder(name="encoder")(flow, corr)
         gru_in = jnp.concatenate([inp, motion], axis=-1)
         net = SepConvGRU(self.hidden_dim, name="gru")(net, gru_in)
@@ -168,6 +185,13 @@ class RAFT(nn.Module):
     #: default — measured 14% faster fwd+bwd on v5e at KITTI size and the
     #: activations fit HBM comfortably at attack batch sizes
     remat: bool = False
+    #: spatial sharding (SURVEY.md §2.6 CP analog): run under `shard_map`
+    #: over a mesh axis of this name with `spatial_shards` devices. The
+    #: O(N²) correlation volume — the memory-scaling pressure for large
+    #: frames — is built and looked up per row shard; encoders/GRU stay
+    #: replicated. See `parallel/sp.py`.
+    spatial_axis: str | None = None
+    spatial_shards: int = 1
 
     @nn.compact
     def __call__(self, image1: jnp.ndarray, image2: jnp.ndarray):
@@ -179,7 +203,13 @@ class RAFT(nn.Module):
         fmaps = fnet(jnp.concatenate([x1, x2], axis=0))
         fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
 
-        corr_vol = allpairs_correlation(fmap1, fmap2)
+        if self.spatial_axis is not None:
+            hs = fmap1.shape[1] // self.spatial_shards
+            r0 = jax.lax.axis_index(self.spatial_axis) * hs
+            f1_loc = jax.lax.dynamic_slice_in_dim(fmap1, r0, hs, axis=1)
+            corr_vol = allpairs_correlation(f1_loc, fmap2)
+        else:
+            corr_vol = allpairs_correlation(fmap1, fmap2)
         pyramid = corr_pyramid(corr_vol, self.corr_levels)
 
         cnet = BasicEncoder(output_dim=self.hidden_dim + self.context_dim,
@@ -193,6 +223,12 @@ class RAFT(nn.Module):
         # + 0·net: inherit data-varying-ness so the scan carry type is
         # consistent under shard_map (vma) — a no-op otherwise
         coords1 = coords_grid(B, H8, W8) + 0.0 * net[..., :2]
+        if self.spatial_axis is not None:
+            # the per-iteration all_gather makes the carries device-varying;
+            # seed that variance into the initial carry (vma consistency)
+            seed = 0.0 * corr_vol.reshape(-1)[0]
+            net = net + seed
+            coords1 = coords1 + seed
 
         body = nn.remat(RAFTScanBody) if self.remat else RAFTScanBody
         scanned = nn.scan(
@@ -201,7 +237,9 @@ class RAFT(nn.Module):
             split_rngs={"params": False},
             in_axes=nn.broadcast,
             length=self.iters,
-        )(self.hidden_dim, self.corr_radius, name="update_block")
+        )(self.hidden_dim, self.corr_radius,
+          spatial_axis=self.spatial_axis, spatial_shards=self.spatial_shards,
+          name="update_block")
 
         (net, coords1), masks = scanned(
             (net, coords1), (inp, coords0, tuple(pyramid))

@@ -63,6 +63,8 @@ class SmallScanBody(nn.Module):
         coords1 = jax.lax.stop_gradient(coords1)
         corr = corr_lookup_mm(list(pyramid), coords1, self.corr_radius)
         flow = coords1 - coords0
+        # keep bf16 compute dtypes from being promoted by the fp32 coords
+        corr, flow = corr.astype(net.dtype), flow.astype(net.dtype)
         motion = SmallMotionEncoder(name="encoder")(flow, corr)
         gru_in = jnp.concatenate([inp, motion], axis=-1)
         net = ConvGRU(self.hidden_dim, name="gru")(net, gru_in)

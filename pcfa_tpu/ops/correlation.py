@@ -31,16 +31,19 @@ from pcfa_tpu.ops.warp import avg_pool2d, bilinear_sampler
 def allpairs_correlation(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray:
     """All-pairs correlation ⟨f1, f2⟩ / sqrt(C) (`raft/corr.py:52-60`).
 
-    fmap1, fmap2: (B, H, W, C) → returns (B, H, W, H, W).
+    fmap1: (B, H1, W1, C), fmap2: (B, H2, W2, C) → (B, H1, W1, H2, W2).
+    The spatial shapes may differ (spatial sharding hands in a row shard of
+    fmap1 against the full fmap2 — `parallel/sp.py`).
     """
-    B, H, W, C = fmap1.shape
-    f1 = fmap1.reshape(B, H * W, C)
-    f2 = fmap2.reshape(B, H * W, C)
+    B, H1, W1, C = fmap1.shape
+    _, H2, W2, _ = fmap2.shape
+    f1 = fmap1.reshape(B, H1 * W1, C)
+    f2 = fmap2.reshape(B, H2 * W2, C)
     corr = jnp.einsum(
         "bnc,bmc->bnm", f1, f2, precision=jax.lax.Precision.HIGHEST
     )
     corr = corr / jnp.sqrt(jnp.asarray(C, dtype=fmap1.dtype))
-    return corr.reshape(B, H, W, H, W)
+    return corr.reshape(B, H1, W1, H2, W2)
 
 
 def corr_pyramid(corr: jnp.ndarray, num_levels: int = 4) -> list[jnp.ndarray]:

@@ -11,19 +11,17 @@ equivalent:
   gradient is a `lax.psum` over the data axis
   (`universal_batch_attack_dp`).
 
-Spatial (context-parallel analog) sharding — designed, not yet built
-(SURVEY.md §2.6: "design for it, don't build it in v0"): for frames large
-enough that the all-pairs correlation volume O((HW/64)²) outgrows one
-chip's HBM, extend the mesh to ('data', 'space') and shard the FIRST HW
-axis of the volume. `allpairs_correlation` then computes per-shard
-`f1_shard · f2ᵀ` with f2 ring-gathered over ICI (`jax.lax.ppermute` ring,
-or all_gather for small f2); `corr_lookup_mm` stays shard-local because
-each query position's window reads only its own row of the volume. The
-convolutional encoders/GRU shard along H with halo exchange
-(`ppermute` of the conv receptive-field rows). KITTI/Sintel at ÷8 are
-≤48×156 positions (~220 MB volume), so single-chip residency wins today;
-the sharded path becomes profitable around 4× those dimensions.
+* spatial (context-parallel analog) sharding of the O((HW/64)²)
+  all-pairs correlation volume over a `Mesh(('space',))` axis
+  (`parallel/sp.py`, `spatial_flow_fn`): per-device row shards of
+  `⟨f1, f2⟩`, shard-local `corr_lookup_mm`, one tiled `all_gather` of the
+  small corr features per refinement iteration. KITTI/Sintel at ÷8 are
+  ≤48×156 positions (~220 MB volume) so single-chip residency wins today;
+  this path is for frames ~4× larger, where the volume outgrows one
+  chip's HBM. Encoders/GRU stay replicated (HBM-light); sharding them
+  along H with `ppermute` halo exchange is the designed next step.
 """
 
 from pcfa_tpu.parallel.mesh import data_mesh
 from pcfa_tpu.parallel.dp import pcfa_attack_dp, universal_batch_attack_dp
+from pcfa_tpu.parallel.sp import space_mesh, spatial_flow_fn

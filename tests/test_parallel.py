@@ -110,6 +110,46 @@ def test_universal_dp_mse_matches_serial(flow_fn, batch):
     )
 
 
+def test_spatial_sharded_raft_matches_serial():
+    """Volume-sharded RAFT (corr rows over a 'space' mesh axis) reproduces
+    the serial model's flow AND input gradients — the properties the PCFA
+    engine relies on (SURVEY.md §2.6 spatial sharding / CP analog)."""
+    from pcfa_tpu.models.raft import RAFT
+    from pcfa_tpu.parallel.sp import space_mesh, spatial_flow_fn
+
+    n_dev = 8
+    Hs = Ws = 128  # corr pyramid needs the coarsest level >= 2x2
+    serial = RAFT(iters=2)
+    x = jnp.zeros((1, Hs, Ws, 3), jnp.float32)
+    params = serial.init(jax.random.PRNGKey(0), x, x)["params"]
+
+    rng = np.random.default_rng(0)
+    x1 = jnp.asarray(rng.random((1, Hs, Ws, 3)), jnp.float32)
+    x2 = jnp.asarray(rng.random((1, Hs, Ws, 3)), jnp.float32)
+
+    flow_ref = serial.apply({"params": params}, x1, x2)[1]
+
+    mesh = space_mesh(n_dev)
+    sharded = RAFT(iters=2, spatial_axis="space", spatial_shards=n_dev)
+    flow_fn = spatial_flow_fn(sharded, params, mesh)
+    flow_sp = jax.jit(flow_fn)(x1, x2)
+    np.testing.assert_allclose(
+        np.asarray(flow_sp), np.asarray(flow_ref), rtol=1e-4, atol=1e-4
+    )
+
+    def loss_ref(a, b):
+        return jnp.mean(serial.apply({"params": params}, a, b)[1] ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(x1, x2)
+    g_sp = jax.grad(
+        lambda a, b: jnp.mean(flow_fn(a, b) ** 2), argnums=(0, 1)
+    )(x1, x2)
+    for a, b in zip(g_sp, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-6
+        )
+
+
 def test_universal_dp_cosim_rejected(flow_fn, batch):
     x1, x2 = batch
     cfg = UniversalConfig(steps=1, max_iter=1, loss="cosim")
