@@ -23,9 +23,9 @@ the odd-size replicate-pad branch `SpyNet.py:149-150` can never trigger).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
-from pcfa_tpu.models.layers import tconv
 from pcfa_tpu.ops.warp import avg_pool2d, grid_sample, interpolate_bilinear
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
@@ -53,14 +53,59 @@ def spynet_warp(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     return grid_sample(img, grid, align_corners=False, padding_mode="zeros")
 
 
+class Conv7(nn.Module):
+    """One SpyNet 7×7 SAME conv with optional fused ReLU.
+
+    Param tree identical to `nn.Conv` (kernel HWIO + bias), but on TPU the
+    compute runs through the shifted-slab Pallas kernel
+    (`ops/pallas/small_conv.py`) on NHCW operands — XLA's NHWC conv pads
+    SpyNet's 2–64 channels to 128 lanes and runs at a few percent MXU
+    utilization."""
+
+    features: int
+    relu: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, nhcw: bool = False) -> jnp.ndarray:
+        c_in = x.shape[2] if nhcw else x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, c_in, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if nhcw:
+            from pcfa_tpu.ops.pallas.small_conv import small_conv2d
+
+            return small_conv2d(x, kernel, bias, self.relu)
+        out = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1, 1), padding=((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias
+        return nn.relu(out) if self.relu else out
+
+
 class BasicBlock(nn.Module):
-    """SpyNet `Basic` unit: 5 convs k=7 SAME, ReLU between (`SpyNet.py:61-71`)."""
+    """SpyNet `Basic` unit: 5 convs k=7 SAME, ReLU between (`SpyNet.py:61-71`).
+
+    `use_pallas=None` → Pallas path iff running on TPU. The Pallas path
+    transposes to NHCW once, chains the five fused convs, and transposes
+    back — no intermediate layout changes."""
+
+    use_pallas: bool | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        for i, feat in enumerate((32, 64, 32, 16)):
-            x = nn.relu(tconv(feat, (7, 7), name=f"conv{i}")(x))
-        return tconv(2, (7, 7), name="conv4")(x)
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        convs = [Conv7(feat, relu=i < 4, name=f"conv{i}")
+                 for i, feat in enumerate((32, 64, 32, 16, 2))]
+        if use_pallas:
+            x = x.transpose(0, 1, 3, 2)          # NHWC → NHCW
+            for conv in convs:
+                x = conv(x, nhcw=True)
+            return x.transpose(0, 1, 3, 2)
+        for conv in convs:
+            x = conv(x)
+        return x
 
 
 class SpyNet(nn.Module):
@@ -71,6 +116,7 @@ class SpyNet(nn.Module):
     """
 
     nlevels: int = 6
+    use_pallas: bool | None = None
 
     @nn.compact
     def __call__(self, img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
@@ -88,5 +134,6 @@ class SpyNet(nn.Module):
             up = interpolate_bilinear(flow, (H, W), align_corners=False) * 2.0
             warped = spynet_warp(pyr2[lvl], up)
             inp = jnp.concatenate([pyr1[lvl], warped, up], axis=-1)
-            flow = BasicBlock(name=f"basic{lvl}")(inp) + up
+            flow = BasicBlock(use_pallas=self.use_pallas,
+                              name=f"basic{lvl}")(inp) + up
         return flow

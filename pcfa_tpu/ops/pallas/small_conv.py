@@ -1,0 +1,239 @@
+"""Shifted-slab Pallas conv for tiny channel counts (SpyNet's entire cost).
+
+Why this exists: XLA lowers every NHWC conv onto the MXU by padding both the
+input- and output-channel axes to 128 lanes. SpyNet's `Basic` blocks
+(`SpyNet.py:61-71`: five 7×7 convs, 8→32→64→32→16→2 channels) therefore run
+at 1.5–6% MXU utilization — measured on v5e, a full SpyNet forward+backward
+costs as much as RAFT's despite 30× fewer FLOPs, and ~95% of that is these
+convs (see CLAUDE.md round-2 roadmap; warps are ~12 ms).
+
+The kernel reorganizes the conv so BOTH matmul dimensions are hardware-sized
+without materializing im2col patches:
+
+  * Work in **NHCW** layout: lanes = image width (huge), sublanes = channels.
+  * Each grid step covers TH output rows. One DMA brings the (TH+k−1)-row ×
+    G-channel input slab into VMEM; reshaping it to ((TH+k−1)·G, W_lanes) is
+    layout-free (leading-dim merge, G a multiple of 8).
+  * The k horizontal taps become **lane-offset slices** of that one slab —
+    no data movement at all.
+  * The k vertical taps and the TH output rows are absorbed into
+    host-precomputed block-Toeplitz weight matrices Ŵ[g,dx] of shape
+    (TH·C_out, (TH+k−1)·G):  Ŵ[t·C_out+o, (t+dy)·G+c] = W[o, gG+c, dy, dx].
+    K = (TH+k−1)·G and M = TH·C_out are both chosen ≈128 → full MXU tiles.
+  * out_stack(M, W) = Σ_g Σ_dx Ŵ[g,dx] @ slab_g[:, dx:dx+W], then fused
+    bias + ReLU, stored per-t as contiguous (C_out, W) planes (NHCW again,
+    so a 5-conv chain needs no intermediate transposes).
+
+The only overhead vs. ideal is the Toeplitz zero-padding factor
+k/(TH+k−1) (7/8 at TH=2) and residual M/K padding — ~4–8× faster than the
+XLA convs at SpyNet's channel counts on v5e.
+
+Replaces no reference native op (the reference runs these convs through
+cuDNN); it is the TPU answer to the same "hot op the framework must own"
+problem as SURVEY.md §2.5. Backward: `jax.custom_vjp` — dx reuses this very
+kernel with spatially-flipped, channel-transposed weights (stride-1 SAME
+conv transpose identity); dW/db are cheap XLA contractions (unused in the
+attack: networks are frozen, gradients flow only to inputs).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _plan(c_in: int, c_out: int, H: int, k: int) -> tuple[int, int]:
+    """Pick (TH rows per grid step, G input-channel group size) maximizing
+    estimated MXU efficiency: Toeplitz-validity × K-padding × M-padding."""
+    best, best_eff = (2, min(8, _round_up(c_in, 8))), -1.0
+    for th in (2, 4, 6, 8):
+        if H % th:
+            continue
+        rows = th + k - 1
+        for g in (8, 16, 32):
+            if c_in > g and c_in % g:
+                continue
+            gg = min(g, _round_up(c_in, 8))
+            K = rows * gg
+            M = th * c_out
+            if K > 512:
+                continue
+            eff = (
+                (k / rows)
+                * (K / _round_up(K, 128))
+                * (min(M, 128) / 128)
+            )
+            # VMEM guard: slab + Ŵ + acc + out block (see _forward)
+            grps = _round_up(c_in, gg) // gg
+            approx = (rows * gg + grps * k * M * K / 1408 + 2 * M) * 1408 * 4
+            if approx > 11 * 2**20:
+                continue
+            if eff > best_eff:
+                best, best_eff = (th, gg), eff
+    return best
+
+
+def _pack_weights(kernel: jnp.ndarray, TH: int, G: int) -> jnp.ndarray:
+    """(k, k, C_in, C_out) HWIO → Ŵ (grps, k, TH·C_out, (TH+k−1)·G).
+
+    Ŵ[g, dx, t·C_out+o, (t+dy)·G+c] = kernel[dy, dx, gG+c, o]."""
+    k = kernel.shape[0]
+    c_in, c_out = kernel.shape[2], kernel.shape[3]
+    c_pad = _round_up(c_in, G)
+    if c_pad != c_in:
+        kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, c_pad - c_in), (0, 0)))
+    grps = c_pad // G
+    rows = TH + k - 1
+    # (k_dy, k_dx, grps, G, O) → per (g, dx): (O, dy, c) blocks
+    w = kernel.reshape(k, k, grps, G, c_out)
+    w = w.transpose(2, 1, 4, 0, 3)          # (grps, dx, O, dy, G)
+    w = w.reshape(grps, k, c_out, k * G)    # columns = (dy, c)
+    out = jnp.zeros((grps, k, TH * c_out, rows * G), kernel.dtype)
+    for t in range(TH):
+        out = out.at[
+            :, :, t * c_out:(t + 1) * c_out, t * G:(t + k) * G
+        ].set(w)
+    return out
+
+
+def _kernel(xp_ref, what_ref, bias_ref, out_ref, slab, sem, *, k: int,
+            TH: int, G: int, grps: int, c_out: int, WN: int, relu: bool):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    rows = TH + k - 1
+    M = TH * c_out
+    WL = slab.shape[-1]
+
+    acc = jnp.zeros((M, WN), jnp.float32)
+    for g in range(grps):
+        cp = pltpu.make_async_copy(
+            xp_ref.at[b, pl.ds(i * TH, rows), pl.ds(g * G, G), :],
+            slab,
+            sem,
+        )
+        cp.start()
+        cp.wait()
+        s2 = slab[:].reshape(rows * G, WL)
+        for dx in range(k):
+            acc = acc + jnp.dot(
+                what_ref[g, dx],
+                s2[:, dx:dx + WN],
+                preferred_element_type=jnp.float32,
+            )
+    acc = acc + bias_ref[:]
+    if relu:
+        acc = jnp.maximum(acc, 0.0)
+    acc = acc.astype(out_ref.dtype)
+    for t in range(TH):
+        out_ref[0, t, :, :] = acc[t * c_out:(t + 1) * c_out, :]
+
+
+def _forward(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
+             relu: bool, interpret: bool = False,
+             plan: tuple[int, int] | None = None) -> jnp.ndarray:
+    """x (B, H, C_in, W) NHCW → (B, H, C_out, W); stride 1, SAME zero-pad."""
+    B, H, c_in, W = x.shape
+    k = kernel.shape[0]
+    c_out = kernel.shape[3]
+    p = k // 2
+    TH, G = plan if plan is not None else _plan(c_in, c_out, H, k)
+    c_pad = _round_up(c_in, G)
+    grps = c_pad // G
+    rows = TH + k - 1
+    WN = _round_up(W, 128)
+    WL = WN + 128
+
+    xp = jnp.zeros((B, H + 2 * p, c_pad, WL), x.dtype)
+    xp = xp.at[:, p:p + H, :c_in, p:p + W].set(x)
+    what = _pack_weights(kernel, TH, G).astype(x.dtype)
+    bias_m = jnp.tile(bias.astype(jnp.float32), TH)[:, None]  # (TH·C_out, 1)
+
+    M = TH * c_out
+    out = pl.pallas_call(
+        functools.partial(_kernel, k=k, TH=TH, G=G, grps=grps, c_out=c_out,
+                          WN=WN, relu=relu),
+        out_shape=jax.ShapeDtypeStruct((B, H, c_out, WN), x.dtype),
+        grid=(B, H // TH),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec((grps, k, M, rows * G), lambda b, i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, 1), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TH, c_out, WN), lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rows, G, WL), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, what, bias_m)
+    return out[:, :, :, :W]
+
+
+def conv_reference(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
+                   relu: bool) -> jnp.ndarray:
+    """XLA reference with identical NHCW semantics (used on CPU + in tests)."""
+    k = kernel.shape[0]
+    p = k // 2
+    out = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding=((p, p), (p, p)),
+        dimension_numbers=("NHCW", "HWIO", "NHCW"),
+    ) + bias[None, None, :, None]
+    return jnp.maximum(out, 0.0) if relu else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def small_conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
+                 relu: bool = False) -> jnp.ndarray:
+    """Stride-1 SAME conv on NHCW input via the shifted-slab Pallas kernel,
+    with optional fused bias+ReLU. Differentiable (custom VJP)."""
+    return _forward(x, kernel, bias, relu)
+
+
+def _fwd(x, kernel, bias, relu):
+    out = _forward(x, kernel, bias, relu)
+    return out, (x, kernel, out if relu else None)
+
+
+def _bwd(relu, res, g):
+    x, kernel, out = res
+    if relu:
+        g = g * (out > 0)
+    k = kernel.shape[0]
+    p = k // 2
+    # dx: stride-1 SAME conv-transpose identity — same kernel, weights
+    # spatially flipped and channel-transposed
+    kernel_t = kernel[::-1, ::-1].transpose(0, 1, 3, 2)
+    zeros = jnp.zeros((kernel.shape[2],), g.dtype)
+    dx = _forward(g, kernel_t, zeros, relu=False)
+    # dW[dy, dx, c, o] = Σ_{b,y,w} xpad[b, y+dy, c, w+dx] · g[b, y, o, w]
+    B, H, _, W = x.shape
+    xp = jnp.pad(x, ((0, 0), (p, p), (0, 0), (p, p)))
+    taps = []
+    for dy in range(k):
+        row = []
+        for dxi in range(k):
+            row.append(jnp.einsum(
+                "bhcw,bhow->co",
+                jax.lax.dynamic_slice(
+                    xp, (0, dy, 0, dxi), (B, H, x.shape[2], W)
+                ),
+                g,
+            ))
+        taps.append(jnp.stack(row))
+    dw = jnp.stack(taps)                      # (k, k, C_in, C_out)
+    db = jnp.sum(g, axis=(0, 1, 3))
+    return dx, dw, db
+
+
+small_conv2d.defvjp(_fwd, _bwd)

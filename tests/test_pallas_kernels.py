@@ -48,6 +48,68 @@ def test_local_corr_pallas_gradients(rng, monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.mark.parametrize("shape", [
+    (1, 16, 8, 40, 32, 7, True),    # SpyNet conv0 (C_in padded to G)
+    (2, 12, 32, 130, 64, 7, False),  # SpyNet conv1, batch>1, W>128
+    (1, 24, 64, 33, 32, 7, True),    # SpyNet conv2
+    (1, 8, 16, 20, 2, 7, False),     # SpyNet conv4 (tiny C_out)
+    (1, 12, 3, 36, 16, 3, True),     # k=3, C_in below one sublane tile
+])
+def test_small_conv_pallas_forward(rng, shape):
+    from pcfa_tpu.ops.pallas.small_conv import _forward, conv_reference
+
+    B, H, C_in, W, C_out, k, relu = shape
+    x = jnp.asarray(rng.standard_normal((B, H, C_in, W)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, k, C_in, C_out)) * 0.1,
+                    jnp.float32)
+    b = jnp.asarray(rng.standard_normal(C_out), jnp.float32)
+    out = _forward(x, w, b, relu, interpret=True)
+    ref = conv_reference(x, w, b, relu)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_small_conv_pallas_gradients(rng, monkeypatch):
+    """custom_vjp (Pallas dx, XLA dW/db) matches autodiff of the XLA conv."""
+    import pcfa_tpu.ops.pallas.small_conv as m
+
+    orig = m._forward
+    monkeypatch.setattr(
+        m, "_forward",
+        lambda x, k, b, relu, interpret=True: orig(x, k, b, relu,
+                                                   interpret=True),
+    )
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 36)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((7, 7, 8, 32)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(32), jnp.float32)
+    g1 = jax.grad(lambda *a: jnp.sum(m.small_conv2d(*a, True) ** 2),
+                  argnums=(0, 1, 2))(x, w, b)
+    g2 = jax.grad(lambda *a: jnp.sum(m.conv_reference(*a, True) ** 2),
+                  argnums=(0, 1, 2))(x, w, b)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_spynet_pallas_branch_matches_xla(rng, monkeypatch):
+    """SpyNet with use_pallas=True (interpret mode) == the XLA branch."""
+    import pcfa_tpu.ops.pallas.small_conv as m
+
+    orig = m._forward
+    monkeypatch.setattr(
+        m, "_forward",
+        lambda x, k, b, relu, interpret=True: orig(x, k, b, relu,
+                                                   interpret=True),
+    )
+    from pcfa_tpu.models.spynet import SpyNet
+
+    x1 = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+    x2 = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+    ref_model = SpyNet(use_pallas=False)
+    params = ref_model.init(jax.random.PRNGKey(0), x1, x2)["params"]
+    ref = ref_model.apply({"params": params}, x1, x2)
+    out = SpyNet(use_pallas=True).apply({"params": params}, x1, x2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
 def test_global_corr_pallas_forward(rng):
     from pcfa_tpu.ops.correlation import global_correlation
 
