@@ -71,6 +71,9 @@ class Conv7(nn.Module):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (7, 7, c_in, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        # under a bf16 compute dtype the warp/upsample path re-promotes to
+        # fp32 (pixel-coordinate math); convs require matching dtypes
+        x = x.astype(kernel.dtype)
         if nhcw:
             from pcfa_tpu.ops.pallas.small_conv import small_conv2d
 

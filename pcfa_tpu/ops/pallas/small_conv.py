@@ -104,18 +104,30 @@ def _pack_weights(kernel: jnp.ndarray, TH: int, G: int) -> jnp.ndarray:
     return out
 
 
+def _pick_wblk(WN: int, target: int = 768) -> int:
+    """Largest 128-multiple divisor of WN ≤ target (bounds every VMEM
+    buffer regardless of image width — wide rows are split over a third
+    grid dimension)."""
+    d = min(WN, target)
+    while WN % d:
+        d -= 128
+    return d
+
+
 def _kernel(xp_ref, what_ref, bias_ref, out_ref, slab, sem, *, k: int,
-            TH: int, G: int, grps: int, c_out: int, WN: int, relu: bool):
+            TH: int, G: int, grps: int, c_out: int, WBLK: int, relu: bool):
     b = pl.program_id(0)
     i = pl.program_id(1)
+    wb = pl.program_id(2)
     rows = TH + k - 1
     M = TH * c_out
-    WL = slab.shape[-1]
+    WL = WBLK + 128
 
-    acc = jnp.zeros((M, WN), jnp.float32)
+    acc = jnp.zeros((M, WBLK), jnp.float32)
     for g in range(grps):
         cp = pltpu.make_async_copy(
-            xp_ref.at[b, pl.ds(i * TH, rows), pl.ds(g * G, G), :],
+            xp_ref.at[b, pl.ds(i * TH, rows), pl.ds(g * G, G),
+                      pl.ds(wb * WBLK, WL)],
             slab,
             sem,
         )
@@ -125,7 +137,7 @@ def _kernel(xp_ref, what_ref, bias_ref, out_ref, slab, sem, *, k: int,
         for dx in range(k):
             acc = acc + jnp.dot(
                 what_ref[g, dx],
-                s2[:, dx:dx + WN],
+                s2[:, dx:dx + WBLK],
                 preferred_element_type=jnp.float32,
             )
     acc = acc + bias_ref[:]
@@ -149,6 +161,7 @@ def _forward(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
     grps = c_pad // G
     rows = TH + k - 1
     WN = _round_up(W, 128)
+    WBLK = _pick_wblk(WN)
     WL = WN + 128
 
     xp = jnp.zeros((B, H + 2 * p, c_pad, WL), x.dtype)
@@ -159,20 +172,22 @@ def _forward(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
     M = TH * c_out
     out = pl.pallas_call(
         functools.partial(_kernel, k=k, TH=TH, G=G, grps=grps, c_out=c_out,
-                          WN=WN, relu=relu),
+                          WBLK=WBLK, relu=relu),
         out_shape=jax.ShapeDtypeStruct((B, H, c_out, WN), x.dtype),
-        grid=(B, H // TH),
+        grid=(B, H // TH, WN // WBLK),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec((grps, k, M, rows * G), lambda b, i: (0, 0, 0, 0),
+            pl.BlockSpec((grps, k, M, rows * G),
+                         lambda b, i, w: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, 1), lambda b, i: (0, 0),
+            pl.BlockSpec((M, 1), lambda b, i, w: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TH, c_out, WN), lambda b, i: (b, i, 0, 0),
+        out_specs=pl.BlockSpec((1, TH, c_out, WBLK),
+                               lambda b, i, w: (b, i, 0, w),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((rows, G, WL), x.dtype),
+            pltpu.VMEM((rows, G, WBLK + 128), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

@@ -136,16 +136,25 @@ def make_flow_fn_p(
 
     Pass `loaded.params` as a jit ARGUMENT, never a closure: closed-over
     weights are embedded into the compile payload, which breaks remote
-    compilation for FlowNet2's 650 MB of parameters."""
+    compilation for FlowNet2's 650 MB of parameters.
+
+    PCFA_COMPUTE_DTYPE=bfloat16 runs the network (params, activations,
+    corr-volume storage) in bf16 while the flow entering the attack math
+    stays fp32 — ~2× on HBM-bound TPU passes; see BASELINE.md for the
+    measured attack-quality deviation before enabling it."""
     H, W = image_hw
     padder = InputPadder((H, W, 3), divisor=loaded.spec.pad_divisor,
                          mode=pad_mode)
+    cdtype = os.environ.get("PCFA_COMPUTE_DTYPE")
 
     def flow_fn_p(params, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+        if cdtype:
+            params = jax.tree.map(lambda t: t.astype(cdtype), params)
+            x1, x2 = x1.astype(cdtype), x2.astype(cdtype)
         out = loaded.module.apply({"params": params}, x1, x2)
         if isinstance(out, tuple):
             out = out[-1]
-        return padder.unpad(out)
+        return padder.unpad(out.astype(jnp.float32))
 
     return padder, flow_fn_p
 
