@@ -14,6 +14,14 @@ forward+backward at this shape, ≈220 closure evals per pair → 2.175e-4
 pairs/sec; see BASELINE.md "measured CPU baseline"). Re-measure with
 --measure-cpu.
 
+Default configuration (each lever measured AND end-to-end attack-quality
+validated at this exact size, scripts/validate_precision.py — best-under-
+bound metric deviations vs fp32-highest: aee_adv_tgt_min 1.2%,
+l2_delta12_min 0.03%):
+  * compact (BNS) L-BFGS direction   (PCFA_LBFGS_DIRECTION=two_loop opts out)
+  * bf16 network compute + storage   (PCFA_COMPUTE_DTYPE=float32 opts out)
+  * bf16 matmul operand precision    (PCFA_MATMUL_PRECISION=highest opts out)
+
 Env knobs: PCFA_BENCH_PRESET=smoke → tiny shapes/steps for CI smoke runs.
 """
 
@@ -112,6 +120,10 @@ def main():
     from pcfa_tpu.config import RuntimeConfig, lbfgs_direction
     from pcfa_tpu.models import make_model
 
+    # bench defaults (validated — see module docstring); env vars override
+    os.environ.setdefault("PCFA_MATMUL_PRECISION", "default")
+    os.environ.setdefault("PCFA_COMPUTE_DTYPE", "bfloat16")
+
     RuntimeConfig().apply()
     dev = jax.devices()[0]
     print(f"# device: {dev.platform}:{dev.device_kind}", file=sys.stderr)
@@ -134,6 +146,8 @@ def main():
     # More aggressive than PCFA_MATMUL_PRECISION=default (which only affects
     # matmul operand precision, leaving all HBM traffic fp32).
     cdtype = os.environ.get("PCFA_COMPUTE_DTYPE")
+    if cdtype in ("", "float32"):
+        cdtype = None
 
     def flow_fn_p(prm, a, b):
         if cdtype:

@@ -84,6 +84,11 @@ class Attention(nn.Module):
     max_pos_size: int = 160
     position_only: bool = False
     position_and_content: bool = False
+    #: spatial sharding: keep only this device's query rows — the (HW, HW)
+    #: attention matrix (the O(N²) memory object, `gma.py:66-74`) is then
+    #: row-sharded exactly like the correlation volume (parallel/sp.py)
+    spatial_axis: str | None = None
+    spatial_shards: int = 1
 
     @nn.compact
     def __call__(self, fmap: jnp.ndarray) -> jnp.ndarray:
@@ -91,8 +96,18 @@ class Attention(nn.Module):
         inner = self.heads * self.dim_head
         qk = nn.Conv(2 * inner, (1, 1), use_bias=False, name="to_qk")(fmap)
         q, k = jnp.split(qk, 2, axis=-1)
+        if self.spatial_axis is not None:
+            if self.position_only or self.position_and_content:
+                raise NotImplementedError(
+                    "spatial sharding of the positional-attention variants "
+                    "is not implemented (dead weights in the shipped config)"
+                )
+            hs = H // self.spatial_shards
+            r0 = jax.lax.axis_index(self.spatial_axis) * hs
+            q = jax.lax.dynamic_slice_in_dim(q, r0, hs, axis=1)
+            H = hs
         q = q.reshape(B, H * W, self.heads, self.dim_head) * self.dim_head**-0.5
-        k = k.reshape(B, H * W, self.heads, self.dim_head)
+        k = k.reshape(B, k.shape[1] * W, self.heads, self.dim_head)
 
         if self.position_only or self.position_and_content:
             q_grid = q.reshape(B, H, W, self.heads, self.dim_head)
@@ -118,6 +133,8 @@ class Aggregate(nn.Module):
     heads: int = 1
     dim_head: int = 128
     dim: int = 128
+    spatial_axis: str | None = None
+    spatial_shards: int = 1
 
     @nn.compact
     def __call__(self, attn: jnp.ndarray, fmap: jnp.ndarray) -> jnp.ndarray:
@@ -128,6 +145,11 @@ class Aggregate(nn.Module):
         out = jnp.einsum(
             "bhnm,bmhd->bnhd", attn, v, precision=jax.lax.Precision.HIGHEST
         )
+        if self.spatial_axis is not None:
+            # attn carried only this device's query rows; reassemble
+            out = out.reshape(B, H // self.spatial_shards, W, inner)
+            out = jax.lax.all_gather(out, self.spatial_axis, axis=1,
+                                     tiled=True)
         out = out.reshape(B, H, W, inner)
         if self.dim != inner:
             out = nn.Conv(self.dim, (1, 1), use_bias=False, name="project")(out)
@@ -143,6 +165,8 @@ class GMAScanBody(nn.Module):
     hidden_dim: int = 128
     corr_radius: int = 4
     heads: int = 1
+    spatial_axis: str | None = None
+    spatial_shards: int = 1
 
     @nn.compact
     def __call__(self, carry, const):
@@ -151,13 +175,23 @@ class GMAScanBody(nn.Module):
         net, coords1 = carry
         inp, coords0, attention, pyramid = const
         coords1 = jax.lax.stop_gradient(coords1)  # network.py:108
-        corr = corr_lookup_mm(list(pyramid), coords1, self.corr_radius)
+        if self.spatial_axis is not None:
+            hs = coords1.shape[1] // self.spatial_shards
+            r0 = jax.lax.axis_index(self.spatial_axis) * hs
+            c_loc = jax.lax.dynamic_slice_in_dim(coords1, r0, hs, axis=1)
+            corr_loc = corr_lookup_mm(list(pyramid), c_loc, self.corr_radius)
+            corr = jax.lax.all_gather(corr_loc, self.spatial_axis,
+                                      axis=1, tiled=True)
+        else:
+            corr = corr_lookup_mm(list(pyramid), coords1, self.corr_radius)
         flow = coords1 - coords0
         # keep bf16 compute dtypes from being promoted by the fp32 coords
         corr, flow = corr.astype(net.dtype), flow.astype(net.dtype)
         motion = BasicMotionEncoder(name="encoder")(flow, corr)
         motion_global = Aggregate(
-            heads=self.heads, dim_head=128, dim=128, name="aggregator"
+            heads=self.heads, dim_head=128, dim=128,
+            spatial_axis=self.spatial_axis,
+            spatial_shards=self.spatial_shards, name="aggregator"
         )(attention, motion)
         gru_in = jnp.concatenate([inp, motion, motion_global], axis=-1)
         net = SepConvGRU(self.hidden_dim, name="gru")(net, gru_in)
@@ -181,6 +215,10 @@ class GMA(nn.Module):
     position_only: bool = False           # gma_config.json: false
     position_and_content: bool = False    # gma_config.json: false
     remat: bool = False
+    #: spatial sharding (parallel/sp.py): row-shards BOTH O(N²) objects —
+    #: the correlation volume and the global attention matrix
+    spatial_axis: str | None = None
+    spatial_shards: int = 1
 
     @nn.compact
     def __call__(self, image1: jnp.ndarray, image2: jnp.ndarray):
@@ -191,9 +229,14 @@ class GMA(nn.Module):
         fmaps = fnet(jnp.concatenate([x1, x2], axis=0))
         fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
 
-        pyramid = corr_pyramid(
-            allpairs_correlation(fmap1, fmap2), self.corr_levels
-        )
+        if self.spatial_axis is not None:
+            hs = fmap1.shape[1] // self.spatial_shards
+            r0 = jax.lax.axis_index(self.spatial_axis) * hs
+            f1_loc = jax.lax.dynamic_slice_in_dim(fmap1, r0, hs, axis=1)
+            corr_vol = allpairs_correlation(f1_loc, fmap2)
+        else:
+            corr_vol = allpairs_correlation(fmap1, fmap2)
+        pyramid = corr_pyramid(corr_vol, self.corr_levels)
 
         cnet = BasicEncoder(output_dim=self.hidden_dim + self.context_dim,
                             norm_fn="batch", name="cnet")(x1)
@@ -204,7 +247,9 @@ class GMA(nn.Module):
         attention = Attention(
             heads=self.num_heads, dim_head=self.context_dim,
             position_only=self.position_only,
-            position_and_content=self.position_and_content, name="att"
+            position_and_content=self.position_and_content,
+            spatial_axis=self.spatial_axis,
+            spatial_shards=self.spatial_shards, name="att"
         )(inp)
 
         B, H8, W8, _ = net.shape
@@ -212,6 +257,12 @@ class GMA(nn.Module):
         # + 0·net: inherit data-varying-ness so the scan carry type is
         # consistent under shard_map (vma) — a no-op otherwise
         coords1 = coords_grid(B, H8, W8) + 0.0 * net[..., :2]
+        if self.spatial_axis is not None:
+            # per-iteration all_gathers make the carries device-varying;
+            # seed that variance into the initial carry (vma consistency)
+            seed = 0.0 * corr_vol.reshape(-1)[0]
+            net = net + seed
+            coords1 = coords1 + seed
 
         body = nn.remat(GMAScanBody) if self.remat else GMAScanBody
         scanned = nn.scan(
@@ -221,6 +272,7 @@ class GMA(nn.Module):
             in_axes=nn.broadcast,
             length=self.iters,
         )(self.hidden_dim, self.corr_radius, self.num_heads,
+          spatial_axis=self.spatial_axis, spatial_shards=self.spatial_shards,
           name="update_block")
 
         (net, coords1), masks = scanned(

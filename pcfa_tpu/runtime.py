@@ -146,6 +146,8 @@ def make_flow_fn_p(
     padder = InputPadder((H, W, 3), divisor=loaded.spec.pad_divisor,
                          mode=pad_mode)
     cdtype = os.environ.get("PCFA_COMPUTE_DTYPE")
+    if cdtype in ("", "float32"):
+        cdtype = None
 
     def flow_fn_p(params, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
         if cdtype:

@@ -110,16 +110,20 @@ def test_universal_dp_mse_matches_serial(flow_fn, batch):
     )
 
 
-def test_spatial_sharded_raft_matches_serial():
-    """Volume-sharded RAFT (corr rows over a 'space' mesh axis) reproduces
-    the serial model's flow AND input gradients — the properties the PCFA
-    engine relies on (SURVEY.md §2.6 spatial sharding / CP analog)."""
+@pytest.mark.parametrize("model_name", ["RAFT", "GMA"])
+def test_spatial_sharded_raft_matches_serial(model_name):
+    """Volume-sharded RAFT / volume+attention-sharded GMA (rows over a
+    'space' mesh axis) reproduce the serial model's flow AND input
+    gradients — the properties the PCFA engine relies on (SURVEY.md §2.6
+    spatial sharding / CP analog)."""
+    from pcfa_tpu.models.gma import GMA
     from pcfa_tpu.models.raft import RAFT
     from pcfa_tpu.parallel.sp import space_mesh, spatial_flow_fn
 
+    cls = {"RAFT": RAFT, "GMA": GMA}[model_name]
     n_dev = 8
     Hs = Ws = 128  # corr pyramid needs the coarsest level >= 2x2
-    serial = RAFT(iters=2)
+    serial = cls(iters=2)
     x = jnp.zeros((1, Hs, Ws, 3), jnp.float32)
     params = serial.init(jax.random.PRNGKey(0), x, x)["params"]
 
@@ -130,7 +134,7 @@ def test_spatial_sharded_raft_matches_serial():
     flow_ref = serial.apply({"params": params}, x1, x2)[1]
 
     mesh = space_mesh(n_dev)
-    sharded = RAFT(iters=2, spatial_axis="space", spatial_shards=n_dev)
+    sharded = cls(iters=2, spatial_axis="space", spatial_shards=n_dev)
     flow_fn = spatial_flow_fn(sharded, params, mesh)
     flow_sp = jax.jit(flow_fn)(x1, x2)
     np.testing.assert_allclose(
