@@ -88,9 +88,15 @@ def main():
     ap.add_argument("--size", default=None,
                     help="HxW frame size before padding (default "
                     "375x1242 = KITTI; e.g. 436x1024 = Sintel)")
-    ap.add_argument("--batch", type=int, default=1,
+    ap.add_argument("--batch", type=int, default=0,
                     help="pairs vmapped per chip (throughput scales with "
-                    "batch until HBM/MXU saturate; value = pairs/sec)")
+                    "batch until HBM/MXU saturate; value = pairs/sec). "
+                    "0 = auto: 2 for the RAFT family (measured optimum "
+                    "under bf16 — 142x vs 127x at batch 1; batch 4 exceeds "
+                    "HBM: fp32 L-BFGS state is 2.25 GB/pair), else 1.")
+    ap.add_argument("--remat", choices=["auto", "on", "off"], default="auto",
+                    help="rematerialize refinement iterations (auto: on for "
+                    "--batch>1 at fp32; bf16 activations may fit without)")
     ap.add_argument("--chunk", type=int, default=0,
                     help="outer steps fused per device dispatch (lax.scan); "
                     "0 = one dispatch per outer step. Larger chunks amortize "
@@ -130,9 +136,13 @@ def main():
 
     overrides = {"iters": raft_iters} if args.net in ("RAFT", "GMA",
                                                       "RAFT-small") else {}
-    if args.batch > 1 and args.net in ("RAFT", "GMA", "RAFT-small"):
-        # batched pairs: trade recompute for activation memory
-        overrides["remat"] = True
+    if args.batch == 0:
+        args.batch = 2 if args.net in ("RAFT", "GMA", "RAFT-small") else 1
+    if args.net in ("RAFT", "GMA", "RAFT-small"):
+        if args.remat == "on" or (args.remat == "auto" and args.batch > 1):
+            # batched pairs: trade recompute for activation memory (without
+            # remat, batch 2 exceeds HBM even at bf16 — measured 19.3 GB)
+            overrides["remat"] = True
     model, spec = make_model(args.net, **overrides)
     # pad the KITTI-ish size up to the net's divisor
     d = spec.pad_divisor

@@ -122,8 +122,10 @@ def test_spatial_sharded_raft_matches_serial(model_name):
 
     cls = {"RAFT": RAFT, "GMA": GMA}[model_name]
     n_dev = 8
-    Hs = Ws = 128  # corr pyramid needs the coarsest level >= 2x2
-    serial = cls(iters=2)
+    # corr_levels=2 keeps the coarsest pyramid level >= 2x2 at 64 px while
+    # exercising the identical sharding/collective structure cheaply
+    Hs = Ws = 64
+    serial = cls(iters=2, corr_levels=2)
     x = jnp.zeros((1, Hs, Ws, 3), jnp.float32)
     params = serial.init(jax.random.PRNGKey(0), x, x)["params"]
 
@@ -134,7 +136,8 @@ def test_spatial_sharded_raft_matches_serial(model_name):
     flow_ref = serial.apply({"params": params}, x1, x2)[1]
 
     mesh = space_mesh(n_dev)
-    sharded = cls(iters=2, spatial_axis="space", spatial_shards=n_dev)
+    sharded = cls(iters=2, corr_levels=2, spatial_axis="space",
+                  spatial_shards=n_dev)
     flow_fn = spatial_flow_fn(sharded, params, mesh)
     flow_sp = jax.jit(flow_fn)(x1, x2)
     np.testing.assert_allclose(
