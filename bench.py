@@ -123,7 +123,11 @@ def main():
     import jax.numpy as jnp
 
     from pcfa_tpu.attack.pcfa import PCFAConfig, pcfa_init, pcfa_outer_step
-    from pcfa_tpu.config import RuntimeConfig, lbfgs_direction
+    from pcfa_tpu.config import (
+        RuntimeConfig,
+        lbfgs_direction,
+        lbfgs_history_dtype,
+    )
     from pcfa_tpu.models import make_model
 
     # bench defaults (validated — see module docstring); env vars override
@@ -169,7 +173,8 @@ def main():
 
     cfg = PCFAConfig(steps=steps, max_iter=max_iter, delta_bound=0.005,
                      boxconstraint="clipping",
-                     lbfgs_direction=lbfgs_direction())
+                     lbfgs_direction=lbfgs_direction(),
+                     lbfgs_history_dtype=lbfgs_history_dtype())
     B = args.batch
     rng = np.random.default_rng(0)
     x1 = jnp.asarray(rng.random((B, 1, H, W, 3)), jnp.float32)

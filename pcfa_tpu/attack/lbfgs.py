@@ -49,8 +49,15 @@ class LBFGSState(NamedTuple):
     last_step_max: jnp.ndarray  # () max|t·d| of the last applied update
 
 
-def lbfgs_init(x0: jnp.ndarray, history_size: int = 100) -> LBFGSState:
+def lbfgs_init(x0: jnp.ndarray, history_size: int = 100,
+               history_dtype: jnp.dtype | None = None) -> LBFGSState:
+    """`history_dtype=bfloat16` stores the (m, n) curvature-pair ring
+    buffers in bf16 — halves the optimizer's HBM footprint/streams (the
+    dominant per-iteration cost at torch's m=100 and attack-scale n) at a
+    ~0.4% relative rounding of the y/s pairs; iterates, gradients and all
+    scalar state stay fp32."""
     n = x0.shape[0]
+    hdtype = x0.dtype if history_dtype is None else history_dtype
     return LBFGSState(
         x=x0,
         # distinct buffers per field: aliased leaves break jit donation
@@ -59,8 +66,8 @@ def lbfgs_init(x0: jnp.ndarray, history_size: int = 100) -> LBFGSState:
         t=jnp.asarray(0.0, x0.dtype),
         prev_grad=jnp.zeros_like(x0),
         prev_loss=jnp.asarray(0.0, x0.dtype),
-        y_buf=jnp.zeros((history_size, n), x0.dtype),
-        s_buf=jnp.zeros((history_size, n), x0.dtype),
+        y_buf=jnp.zeros((history_size, n), hdtype),
+        s_buf=jnp.zeros((history_size, n), hdtype),
         ro_buf=jnp.zeros((history_size,), x0.dtype),
         h_diag=jnp.asarray(1.0, x0.dtype),
         count=jnp.asarray(0, jnp.int32),
@@ -138,10 +145,12 @@ def _compact_direction(
     valid = ranks < num_valid             # in rank space
 
     gamma = h_diag
-    gram_sy = s_buf @ y_buf.T             # SᵀY (ring order)
-    gram_yy = y_buf @ y_buf.T             # YᵀY
-    sg = s_buf @ grad                     # Sᵀg
-    yg = y_buf @ grad                     # Yᵀg
+    f32 = grad.dtype
+    # fp32 accumulation targets: the buffers may be stored in bf16
+    gram_sy = jnp.dot(s_buf, y_buf.T, preferred_element_type=f32)  # SᵀY
+    gram_yy = jnp.dot(y_buf, y_buf.T, preferred_element_type=f32)  # YᵀY
+    sg = jnp.dot(s_buf, grad, preferred_element_type=f32)          # Sᵀg
+    yg = jnp.dot(y_buf, grad, preferred_element_type=f32)          # Yᵀg
 
     sy = gram_sy[perm][:, perm]
     yy = gram_yy[perm][:, perm]
@@ -167,7 +176,9 @@ def _compact_direction(
     # scatter tiny coefficient vectors back to ring order
     top_r = jnp.zeros((m,), grad.dtype).at[perm].set(top)
     bot_r = jnp.zeros((m,), grad.dtype).at[perm].set(bot)
-    hg = gamma * grad + top_r @ s_buf + gamma * (bot_r @ y_buf)
+    hg = gamma * grad \
+        + jnp.dot(top_r, s_buf, preferred_element_type=f32) \
+        + gamma * jnp.dot(bot_r, y_buf, preferred_element_type=f32)
     return -hg
 
 
@@ -208,8 +219,12 @@ def lbfgs_iteration(
     idx = jnp.mod(state.count, m)
     # Row-level writes (dynamic_update_slice) so XLA updates the ring buffer
     # in place under scan donation instead of copying the whole history.
-    y_buf = state.y_buf.at[idx].set(jnp.where(push, y, state.y_buf[idx]))
-    s_buf = state.s_buf.at[idx].set(jnp.where(push, s, state.s_buf[idx]))
+    # (explicit casts: the ring buffers may be stored in bf16)
+    hdt = state.y_buf.dtype
+    y_buf = state.y_buf.at[idx].set(
+        jnp.where(push, y.astype(hdt), state.y_buf[idx]))
+    s_buf = state.s_buf.at[idx].set(
+        jnp.where(push, s.astype(hdt), state.s_buf[idx]))
     ro_buf = state.ro_buf.at[idx].set(
         jnp.where(push, 1.0 / ys, state.ro_buf[idx])
     )

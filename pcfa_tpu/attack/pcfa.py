@@ -70,6 +70,9 @@ class PCFAConfig:
     # Schnabel matmul form — algebraically identical, MXU-friendly; ~6×
     # cheaper per iteration at history_size=100 on TPU)
     lbfgs_direction: str = "two_loop"
+    # None → fp32 curvature-pair storage; 'bfloat16' halves the optimizer's
+    # HBM footprint/streams (2.25 → 1.12 GB per KITTI pair)
+    lbfgs_history_dtype: str | None = None
 
     def resolved_mu(self) -> float:
         if self.mu is not None and self.mu >= 0:
@@ -199,8 +202,10 @@ def pcfa_init(
         delta2=jnp.zeros(image1.shape, image1.dtype),
         flow=flow_pred_init,
     )
-    return PCFAState(opt=lbfgs_init(x0, cfg.history_size), best=best0), \
-        flow_pred_init
+    hdtype = (jnp.dtype(cfg.lbfgs_history_dtype)
+              if cfg.lbfgs_history_dtype else None)
+    return PCFAState(opt=lbfgs_init(x0, cfg.history_size, hdtype),
+                     best=best0), flow_pred_init
 
 
 def pcfa_outer_step(

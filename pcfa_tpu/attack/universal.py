@@ -46,6 +46,7 @@ class UniversalConfig:
     lr: float = 1.0
     history_size: int = 100
     lbfgs_direction: str = "two_loop"   # see PCFAConfig.lbfgs_direction
+    lbfgs_history_dtype: str | None = None
 
 
 class UniversalMetrics(NamedTuple):
@@ -67,7 +68,10 @@ def universal_init(
         n *= s
     if not config.joint_perturbation:
         n *= 2
-    return lbfgs_init(jnp.zeros((n,), jnp.float32), config.history_size)
+    hdtype = (jnp.dtype(config.lbfgs_history_dtype)
+              if config.lbfgs_history_dtype else None)
+    return lbfgs_init(jnp.zeros((n,), jnp.float32), config.history_size,
+                      hdtype)
 
 
 def unpack_deltas(

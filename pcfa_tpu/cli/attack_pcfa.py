@@ -101,6 +101,7 @@ def attack_l2(args) -> dict:
         boxconstraint=args.boxconstraint,
         joint_perturbation=args.joint_perturbation,
         lbfgs_direction=config.lbfgs_direction(),
+        lbfgs_history_dtype=config.lbfgs_history_dtype(),
     )
 
     # per-image attacks are embarrassingly parallel: with multiple devices,
@@ -305,6 +306,7 @@ def attack_l2_universal(args) -> dict:
         loss=args.loss,
         joint_perturbation=args.joint_perturbation,
         lbfgs_direction=config.lbfgs_direction(),
+        lbfgs_history_dtype=config.lbfgs_history_dtype(),
     )
 
     loader, has_gt = common.make_loader(

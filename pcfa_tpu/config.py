@@ -65,6 +65,14 @@ def lbfgs_direction() -> str:
     return os.environ.get("PCFA_LBFGS_DIRECTION", "compact")
 
 
+def lbfgs_history_dtype() -> str | None:
+    """Curvature-pair storage dtype for L-BFGS ('bfloat16' halves the
+    optimizer's HBM footprint — 2.25 → 1.12 GB per KITTI pair — at a ~0.4%
+    rounding of the y/s pairs). Default fp32; env knob PCFA_LBFGS_DTYPE."""
+    v = os.environ.get("PCFA_LBFGS_DTYPE", "")
+    return v if v and v != "float32" else None
+
+
 @dataclasses.dataclass(frozen=True)
 class RuntimeConfig:
     """Device / precision configuration (replaces `Conf` in config_paths.py:24-35).

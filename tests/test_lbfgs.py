@@ -187,6 +187,33 @@ def test_compact_matches_torch(rng):
                                    err_msg=f"outer step {step}")
 
 
+def test_bf16_history_converges(rng):
+    """bf16 curvature-pair storage still optimizes the quadratic to (near)
+    the fp32 solution — the knob halves the attack's optimizer HBM."""
+    n = 16
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    Q = jnp.asarray(A @ A.T + 4.0 * np.eye(n, dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    x0 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    x_opt = jnp.linalg.solve(Q, b)
+
+    def f(x):
+        return 0.5 * x @ Q @ x - b @ x
+
+    vag = jax.value_and_grad(f)
+    for direction in ("two_loop", "compact"):
+        state = lbfgs.lbfgs_init(x0, 10, jnp.bfloat16)
+        for step in range(4):
+            for pos in range(5):
+                state, _ = lbfgs.lbfgs_iteration(vag, state,
+                                                 jnp.asarray(pos),
+                                                 direction=direction)
+        assert state.y_buf.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(state.x), np.asarray(x_opt),
+                                   rtol=2e-2, atol=2e-3,
+                                   err_msg=direction)
+
+
 def test_scan_run_matches_python_loop(rng):
     n = 10
     A = rng.standard_normal((n, n)).astype(np.float32)
