@@ -157,6 +157,36 @@ def test_spatial_sharded_raft_matches_serial(model_name):
         )
 
 
+def test_pcfa_engine_composes_with_spatial_flow():
+    """The attack engine runs unchanged on a spatially-sharded flow_fn —
+    L-BFGS differentiates through the shard_map'd volume/lookup."""
+    from pcfa_tpu.attack.pcfa import pcfa_attack
+    from pcfa_tpu.models.raft import RAFT
+    from pcfa_tpu.parallel.sp import space_mesh, spatial_flow_fn
+
+    n_dev = 8
+    Hs = Ws = 64
+    model = RAFT(iters=1, corr_levels=2, spatial_axis="space",
+                 spatial_shards=n_dev)
+    x = jnp.zeros((1, Hs, Ws, 3), jnp.float32)
+    params = RAFT(iters=1, corr_levels=2).init(
+        jax.random.PRNGKey(0), x, x)["params"]
+    flow_fn = spatial_flow_fn(model, params, space_mesh(n_dev))
+
+    rng = np.random.default_rng(0)
+    x1 = jnp.asarray(rng.random((1, Hs, Ws, 3)), jnp.float32)
+    x2 = jnp.asarray(rng.random((1, Hs, Ws, 3)), jnp.float32)
+    target = jnp.zeros((1, Hs, Ws, 2), jnp.float32)
+    cfg = PCFAConfig(steps=1, max_iter=2, delta_bound=0.01)
+
+    res = jax.jit(
+        lambda a, b, t: pcfa_attack(flow_fn, a, b, t, cfg)
+    )(x1, x2, target)
+    assert np.isfinite(np.asarray(res.delta1)).all()
+    assert np.isfinite(float(res.metrics.loss[-1]))
+    assert float(res.metrics.l2_delta12[-1]) > 0.0
+
+
 def test_universal_dp_cosim_rejected(flow_fn, batch):
     x1, x2 = batch
     cfg = UniversalConfig(steps=1, max_iter=1, loss="cosim")
