@@ -15,12 +15,14 @@ pairs/sec; see BASELINE.md "measured CPU baseline"). Re-measure with
 --measure-cpu.
 
 Default configuration (each lever measured AND end-to-end attack-quality
-validated at this exact size, scripts/validate_precision.py — best-under-
-bound metric deviations vs fp32-highest: aee_adv_tgt_min 1.2%,
-l2_delta12_min 0.03%):
+validated at this exact size, scripts/validate_precision.py — the full
+stack's best-under-bound deviations vs fp32-highest: aee_adv_tgt_min
+1.4%, δ-bound respected with the best δ 7% SMALLER):
   * compact (BNS) L-BFGS direction   (PCFA_LBFGS_DIRECTION=two_loop opts out)
   * bf16 network compute + storage   (PCFA_COMPUTE_DTYPE=float32 opts out)
   * bf16 matmul operand precision    (PCFA_MATMUL_PRECISION=highest opts out)
+  * bf16 L-BFGS curvature history    (PCFA_LBFGS_DTYPE=float32 opts out)
+  * 2 pairs vmapped per chip, remat  (--batch 1 opts out)
 
 Env knobs: PCFA_BENCH_PRESET=smoke → tiny shapes/steps for CI smoke runs.
 """
@@ -133,6 +135,7 @@ def main():
     # bench defaults (validated — see module docstring); env vars override
     os.environ.setdefault("PCFA_MATMUL_PRECISION", "default")
     os.environ.setdefault("PCFA_COMPUTE_DTYPE", "bfloat16")
+    os.environ.setdefault("PCFA_LBFGS_DTYPE", "bfloat16")
 
     RuntimeConfig().apply()
     dev = jax.devices()[0]

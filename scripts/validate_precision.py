@@ -18,6 +18,7 @@ Random (damped) weights; synthetic inputs. Usage:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import functools
 import os
 import sys
@@ -88,23 +89,30 @@ def main():
     cfg = PCFAConfig(steps=args.steps, max_iter=args.max_iter,
                      delta_bound=0.005, boxconstraint="clipping")
 
-    def run(precision):
+    def run(precision, cdtype=None, hdtype=None):
+        run_cfg = (dataclasses.replace(cfg, lbfgs_history_dtype=hdtype)
+                   if hdtype else cfg)
         with jax.default_matmul_precision(precision):
             def flow_fn_p(prm, a, b):
+                if cdtype:
+                    prm = jax.tree.map(lambda t: t.astype(cdtype), prm)
+                    a, b = a.astype(cdtype), b.astype(cdtype)
                 out = model.apply({"params": prm}, a, b)
-                return out[-1] if isinstance(out, tuple) else out
+                out = out[-1] if isinstance(out, tuple) else out
+                return out.astype(jnp.float32)
 
             def chunk_fn(prm, a, b, t, fpi, s):
                 fn = functools.partial(flow_fn_p, prm)
 
                 def body(s, _):
-                    s, metrics, _ = pcfa_outer_step(fn, a, b, t, fpi, s, cfg)
+                    s, metrics, _ = pcfa_outer_step(fn, a, b, t, fpi, s,
+                                                    run_cfg)
                     return s, metrics
 
                 return jax.lax.scan(body, s, None, length=args.chunk)
 
             init_jit = jax.jit(lambda prm, a, b: pcfa_init(
-                functools.partial(flow_fn_p, prm), a, b, cfg))
+                functools.partial(flow_fn_p, prm), a, b, run_cfg))
             step_jit = jax.jit(chunk_fn, donate_argnums=(5,))
 
             t0 = time.perf_counter()
@@ -119,18 +127,25 @@ def main():
             out["wall_s"] = time.perf_counter() - t0
             return out
 
+    configs = {
+        "highest": ("highest", None, None),
+        "default": ("default", None, None),
+        "bf16-compute": ("default", "bfloat16", None),
+        "bf16-all": ("default", "bfloat16", "bfloat16"),
+    }
     results = {}
-    for precision in ("highest", "default"):
-        results[precision] = run(precision)
-        r = results[precision]
-        print(f"[{precision:8s}] " + "  ".join(
+    for name, (precision, cdtype, hdtype) in configs.items():
+        results[name] = run(precision, cdtype, hdtype)
+        r = results[name]
+        print(f"[{name:12s}] " + "  ".join(
             f"{k}={v:.6g}" for k, v in r.items()))
 
-    hi, lo = results["highest"], results["default"]
-    for k in ("aee_adv_tgt", "l2_delta12", "aee_adv_tgt_min",
-              "l2_delta12_min"):
-        ref = abs(hi[k]) or 1.0
-        print(f"rel diff {k}: {abs(hi[k] - lo[k]) / ref:.4%}")
+    hi = results["highest"]
+    for name in ("default", "bf16-compute", "bf16-all"):
+        for k in ("aee_adv_tgt_min", "l2_delta12_min"):
+            ref = abs(hi[k]) or 1.0
+            print(f"rel diff [{name}] {k}: "
+                  f"{abs(hi[k] - results[name][k]) / ref:.4%}")
 
 
 if __name__ == "__main__":
