@@ -140,11 +140,18 @@ def main():
     RuntimeConfig().apply()
     dev = jax.devices()[0]
     print(f"# device: {dev.platform}:{dev.device_kind}", file=sys.stderr)
+    print("# config: "
+          f"matmul={os.environ['PCFA_MATMUL_PRECISION']} "
+          f"compute={os.environ['PCFA_COMPUTE_DTYPE'] or 'float32'} "
+          f"lbfgs_history={os.environ['PCFA_LBFGS_DTYPE'] or 'float32'} "
+          f"direction={os.environ.get('PCFA_LBFGS_DIRECTION', 'compact')}",
+          file=sys.stderr)
 
     overrides = {"iters": raft_iters} if args.net in ("RAFT", "GMA",
                                                       "RAFT-small") else {}
     if args.batch == 0:
         args.batch = 2 if args.net in ("RAFT", "GMA", "RAFT-small") else 1
+    print(f"# batch={args.batch} remat={args.remat}", file=sys.stderr)
     if args.net in ("RAFT", "GMA", "RAFT-small"):
         if args.remat == "on" or (args.remat == "auto" and args.batch > 1):
             # batched pairs: trade recompute for activation memory (without
