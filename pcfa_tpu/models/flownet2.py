@@ -34,15 +34,55 @@ def _leaky(x):
     return nn.leaky_relu(x, 0.1)
 
 
+def _cl_pallas_default() -> bool:
+    """Default for CL.use_pallas (separate function so tests can force the
+    Pallas conv branch on the CPU backend)."""
+    return jax.default_backend() == "tpu"
+
+
+class _PConv(nn.Module):
+    """Param-tree twin of `nn.Conv` that runs the shifted-slab Pallas
+    kernel (`ops/pallas/small_conv.py`) on NHCW with fused LeakyReLU."""
+
+    features: int
+    kernel: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x):  # x NHWC
+        c_in = x.shape[-1]
+        kern = self.param("kernel", nn.initializers.lecun_normal(),
+                          (self.kernel, self.kernel, c_in, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        from pcfa_tpu.ops.pallas.small_conv import small_conv2d
+
+        out = small_conv2d(x.transpose(0, 1, 3, 2).astype(kern.dtype),
+                           kern, bias, "leaky", self.stride)
+        return out.transpose(0, 1, 3, 2)
+
+
 class CL(nn.Module):
-    """`submodules.conv` (no-BN branch): Conv(bias) + LeakyReLU(0.1)."""
+    """`submodules.conv` (no-BN branch): Conv(bias) + LeakyReLU(0.1).
+
+    On TPU, small-input-channel convs (the encoder heads of every FlowNet
+    subnet — XLA pads ≤64 channels to 128 lanes on both matmul axes) run
+    through the shifted-slab Pallas kernel with a fused leaky epilogue."""
 
     features: int
     kernel: int = 3
     stride: int = 1
+    use_pallas: bool | None = None
 
     @nn.compact
     def __call__(self, x):
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = _cl_pallas_default()
+        if (use_pallas and x.shape[-1] <= 64 and self.stride in (1, 2)
+                and x.shape[1] % self.stride == 0
+                and x.shape[2] % self.stride == 0):
+            return _PConv(self.features, self.kernel, self.stride,
+                          name="0")(x)
         p = (self.kernel - 1) // 2
         return _leaky(
             nn.Conv(self.features, (self.kernel, self.kernel),

@@ -50,14 +50,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _plan(c_in: int, c_out: int, H: int, k: int) -> tuple[int, int]:
-    """Pick (TH rows per grid step, G input-channel group size) maximizing
-    estimated MXU efficiency: Toeplitz-validity × K-padding × M-padding."""
+def _plan(c_in: int, c_out: int, Ho: int, k: int,
+          stride: int = 1) -> tuple[int, int]:
+    """Pick (TH output rows per grid step, G input-channel group size)
+    maximizing estimated MXU efficiency: Toeplitz-validity × K-padding ×
+    M-padding. `Ho` is the OUTPUT height."""
     best, best_eff = (2, min(8, _round_up(c_in, 8))), -1.0
     for th in (2, 4, 6, 8):
-        if H % th:
+        if Ho % th:
             continue
-        rows = th + k - 1
+        rows = stride * th + k - 1
         for g in (8, 16, 32):
             if c_in > g and c_in % g:
                 continue
@@ -73,7 +75,7 @@ def _plan(c_in: int, c_out: int, H: int, k: int) -> tuple[int, int]:
             )
             # VMEM guard: slab + Ŵ + acc + out block (see _forward)
             grps = _round_up(c_in, gg) // gg
-            approx = (rows * gg + grps * k * M * K / 1408 + 2 * M) * 1408 * 4
+            approx = (rows * gg + grps * k * M * K / 896 + 2 * M) * 896 * 4
             if approx > 11 * 2**20:
                 continue
             if eff > best_eff:
@@ -81,17 +83,18 @@ def _plan(c_in: int, c_out: int, H: int, k: int) -> tuple[int, int]:
     return best
 
 
-def _pack_weights(kernel: jnp.ndarray, TH: int, G: int) -> jnp.ndarray:
-    """(k, k, C_in, C_out) HWIO → Ŵ (grps, k, TH·C_out, (TH+k−1)·G).
+def _pack_weights(kernel: jnp.ndarray, TH: int, G: int,
+                  stride: int = 1) -> jnp.ndarray:
+    """(k, k, C_in, C_out) HWIO → Ŵ (grps, k, TH·C_out, (s·TH+k−1)·G).
 
-    Ŵ[g, dx, t·C_out+o, (t+dy)·G+c] = kernel[dy, dx, gG+c, o]."""
+    Ŵ[g, dx, t·C_out+o, (s·t+dy)·G+c] = kernel[dy, dx, gG+c, o]."""
     k = kernel.shape[0]
     c_in, c_out = kernel.shape[2], kernel.shape[3]
     c_pad = _round_up(c_in, G)
     if c_pad != c_in:
         kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, c_pad - c_in), (0, 0)))
     grps = c_pad // G
-    rows = TH + k - 1
+    rows = stride * TH + k - 1
     # (k_dy, k_dx, grps, G, O) → per (g, dx): (O, dy, c) blocks
     w = kernel.reshape(k, k, grps, G, c_out)
     w = w.transpose(2, 1, 4, 0, 3)          # (grps, dx, O, dy, G)
@@ -99,7 +102,8 @@ def _pack_weights(kernel: jnp.ndarray, TH: int, G: int) -> jnp.ndarray:
     out = jnp.zeros((grps, k, TH * c_out, rows * G), kernel.dtype)
     for t in range(TH):
         out = out.at[
-            :, :, t * c_out:(t + 1) * c_out, t * G:(t + k) * G
+            :, :, t * c_out:(t + 1) * c_out,
+            stride * t * G:(stride * t + k) * G
         ].set(w)
     return out
 
@@ -115,66 +119,86 @@ def _pick_wblk(WN: int, target: int = 768) -> int:
 
 
 def _kernel(xp_ref, what_ref, bias_ref, out_ref, slab, sem, *, k: int,
-            TH: int, G: int, grps: int, c_out: int, WBLK: int, relu: bool):
+            TH: int, G: int, grps: int, c_out: int, WBLK: int,
+            stride: int, act: str | None):
+    """xp_ref: (s, B, H+2p, C, WqL) lane-phase-split padded input in HBM —
+    phase q holds virtual lanes ℓ ≡ q (mod s), so the stride-s horizontal
+    tap dx becomes a contiguous lane-offset slice (dx//s) of phase dx%s."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     wb = pl.program_id(2)
-    rows = TH + k - 1
+    rows = stride * TH + k - 1
     M = TH * c_out
     WL = WBLK + 128
 
     acc = jnp.zeros((M, WBLK), jnp.float32)
     for g in range(grps):
-        cp = pltpu.make_async_copy(
-            xp_ref.at[b, pl.ds(i * TH, rows), pl.ds(g * G, G),
-                      pl.ds(wb * WBLK, WL)],
-            slab,
-            sem,
-        )
-        cp.start()
-        cp.wait()
-        s2 = slab[:].reshape(rows * G, WL)
-        for dx in range(k):
-            acc = acc + jnp.dot(
-                what_ref[g, dx],
-                s2[:, dx:dx + WBLK],
-                preferred_element_type=jnp.float32,
+        for q in range(stride):
+            cp = pltpu.make_async_copy(
+                xp_ref.at[q, b, pl.ds(stride * i * TH, rows),
+                          pl.ds(g * G, G), pl.ds(wb * WBLK, WL)],
+                slab,
+                sem,
             )
+            cp.start()
+            cp.wait()
+            s2 = slab[:].reshape(rows * G, WL)
+            for a in range((k - q + stride - 1) // stride):
+                dx = stride * a + q
+                acc = acc + jnp.dot(
+                    what_ref[g, dx],
+                    s2[:, a:a + WBLK],
+                    preferred_element_type=jnp.float32,
+                )
     acc = acc + bias_ref[:]
-    if relu:
+    if act == "relu":
         acc = jnp.maximum(acc, 0.0)
+    elif act == "leaky":
+        acc = jnp.where(acc > 0, acc, 0.1 * acc)
     acc = acc.astype(out_ref.dtype)
     for t in range(TH):
         out_ref[0, t, :, :] = acc[t * c_out:(t + 1) * c_out, :]
 
 
 def _forward(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
-             relu: bool, interpret: bool = False,
-             plan: tuple[int, int] | None = None) -> jnp.ndarray:
-    """x (B, H, C_in, W) NHCW → (B, H, C_out, W); stride 1, SAME zero-pad."""
+             act: str | bool | None, interpret: bool = False,
+             plan: tuple[int, int] | None = None,
+             stride: int = 1) -> jnp.ndarray:
+    """x (B, H, C_in, W) NHCW → (B, H/s, C_out, W/s); SAME zero-pad
+    (torch Conv2d(k, stride=s, padding=k//2) semantics; H, W divisible
+    by s). `act`: None | 'relu' | 'leaky' (0.1)."""
+    if act is True:
+        act = "relu"
+    elif act is False:
+        act = None
     B, H, c_in, W = x.shape
+    s = stride
     k = kernel.shape[0]
     c_out = kernel.shape[3]
     p = k // 2
-    TH, G = plan if plan is not None else _plan(c_in, c_out, H, k)
+    Ho, Wo = H // s, W // s
+    TH, G = plan if plan is not None else _plan(c_in, c_out, Ho, k, s)
     c_pad = _round_up(c_in, G)
     grps = c_pad // G
-    rows = TH + k - 1
-    WN = _round_up(W, 128)
-    WBLK = _pick_wblk(WN)
-    WL = WN + 128
+    rows = s * TH + k - 1
+    WoN = _round_up(Wo, 128)
+    WBLK = _pick_wblk(WoN)
+    WqL = WoN + 128
 
-    xp = jnp.zeros((B, H + 2 * p, c_pad, WL), x.dtype)
+    # virtual padded lanes ℓ = s·x_out + dx hold input column ℓ − p;
+    # split into s lane phases so every tap is a contiguous slice
+    xp = jnp.zeros((B, H + 2 * p, c_pad, s * WqL), x.dtype)
     xp = xp.at[:, p:p + H, :c_in, p:p + W].set(x)
-    what = _pack_weights(kernel, TH, G).astype(x.dtype)
+    xps = jnp.stack([xp[..., q::s] for q in range(s)])  # (s, B, H+2p, C, WqL)
+    what = _pack_weights(kernel, TH, G, s).astype(x.dtype)
     bias_m = jnp.tile(bias.astype(jnp.float32), TH)[:, None]  # (TH·C_out, 1)
 
     M = TH * c_out
     out = pl.pallas_call(
         functools.partial(_kernel, k=k, TH=TH, G=G, grps=grps, c_out=c_out,
-                          WBLK=WBLK, relu=relu),
-        out_shape=jax.ShapeDtypeStruct((B, H, c_out, WN), x.dtype),
-        grid=(B, H // TH, WN // WBLK),
+                          WBLK=WBLK, stride=s, act=act),
+        out_shape=jax.ShapeDtypeStruct((B, Ho, c_out, WoN), x.dtype),
+        grid=(B, Ho // TH, WoN // WBLK),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec((grps, k, M, rows * G),
@@ -191,60 +215,82 @@ def _forward(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(xp, what, bias_m)
-    return out[:, :, :, :W]
+    )(xps, what, bias_m)
+    return out[:, :, :, :Wo]
 
 
 def conv_reference(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
-                   relu: bool) -> jnp.ndarray:
+                   act: str | bool | None, stride: int = 1) -> jnp.ndarray:
     """XLA reference with identical NHCW semantics (used on CPU + in tests)."""
     k = kernel.shape[0]
     p = k // 2
     out = jax.lax.conv_general_dilated(
-        x, kernel, window_strides=(1, 1), padding=((p, p), (p, p)),
+        x, kernel, window_strides=(stride, stride),
+        padding=((p, p), (p, p)),
         dimension_numbers=("NHCW", "HWIO", "NHCW"),
     ) + bias[None, None, :, None]
-    return jnp.maximum(out, 0.0) if relu else out
+    if act in ("relu", True):
+        return jnp.maximum(out, 0.0)
+    if act == "leaky":
+        return jnp.where(out > 0, out, 0.1 * out)
+    return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def small_conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
-                 relu: bool = False) -> jnp.ndarray:
-    """Stride-1 SAME conv on NHCW input via the shifted-slab Pallas kernel,
-    with optional fused bias+ReLU. Differentiable (custom VJP)."""
-    return _forward(x, kernel, bias, relu)
+                 act: str | bool | None = None,
+                 stride: int = 1) -> jnp.ndarray:
+    """SAME conv (stride 1 or 2) on NHCW input via the shifted-slab Pallas
+    kernel, with optional fused bias + ReLU/LeakyReLU(0.1) epilogue.
+    Differentiable (custom VJP)."""
+    return _forward(x, kernel, bias, act, stride=stride)
 
 
-def _fwd(x, kernel, bias, relu):
-    out = _forward(x, kernel, bias, relu)
-    return out, (x, kernel, out if relu else None)
+def _fwd(x, kernel, bias, act, stride):
+    out = _forward(x, kernel, bias, act, stride=stride)
+    save_out = out if act in ("relu", "leaky", True) else None
+    return out, (x, kernel, save_out)
 
 
-def _bwd(relu, res, g):
+def _bwd(act, stride, res, g):
     x, kernel, out = res
-    if relu:
+    if act in ("relu", True):
         g = g * (out > 0)
+    elif act == "leaky":
+        g = g * jnp.where(out > 0, 1.0, 0.1).astype(g.dtype)
     k = kernel.shape[0]
     p = k // 2
-    # dx: stride-1 SAME conv-transpose identity — same kernel, weights
-    # spatially flipped and channel-transposed
-    kernel_t = kernel[::-1, ::-1].transpose(0, 1, 3, 2)
-    zeros = jnp.zeros((kernel.shape[2],), g.dtype)
-    dx = _forward(g, kernel_t, zeros, relu=False)
-    # dW[dy, dx, c, o] = Σ_{b,y,w} xpad[b, y+dy, c, w+dx] · g[b, y, o, w]
+    if stride == 1:
+        # dx: stride-1 SAME conv-transpose identity — same kernel, weights
+        # spatially flipped and channel-transposed
+        kernel_t = kernel[::-1, ::-1].transpose(0, 1, 3, 2)
+        zeros = jnp.zeros((kernel.shape[2],), g.dtype)
+        dx = _forward(g, kernel_t, zeros, None)
+    else:
+        # strided conv transpose via XLA (correct; Pallas phase
+        # decomposition of the transpose is a future optimization)
+        _, vjp = jax.vjp(
+            lambda a: jax.lax.conv_general_dilated(
+                a, kernel, window_strides=(stride, stride),
+                padding=((p, p), (p, p)),
+                dimension_numbers=("NHCW", "HWIO", "NHCW"),
+            ), x,
+        )
+        (dx,) = vjp(g)
+    # dW[dy, dx, c, o] = Σ_{b,y,w} xpad[b, s·y+dy, c, s·w+dx] · g[b, y, o, w]
     B, H, _, W = x.shape
     xp = jnp.pad(x, ((0, 0), (p, p), (0, 0), (p, p)))
+    Ho, Wo = H // stride, W // stride
     taps = []
     for dy in range(k):
         row = []
         for dxi in range(k):
-            row.append(jnp.einsum(
-                "bhcw,bhow->co",
-                jax.lax.dynamic_slice(
-                    xp, (0, dy, 0, dxi), (B, H, x.shape[2], W)
-                ),
-                g,
-            ))
+            sl = jax.lax.dynamic_slice(
+                xp, (0, dy, 0, dxi),
+                (B, stride * (Ho - 1) + 1, x.shape[2],
+                 stride * (Wo - 1) + 1),
+            )[:, ::stride, :, ::stride]
+            row.append(jnp.einsum("bhcw,bhow->co", sl, g))
         taps.append(jnp.stack(row))
     dw = jnp.stack(taps)                      # (k, k, C_in, C_out)
     db = jnp.sum(g, axis=(0, 1, 3))

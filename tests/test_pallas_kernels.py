@@ -68,6 +68,21 @@ def test_small_conv_pallas_forward(rng, shape):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_small_conv_pallas_bf16(rng):
+    """bf16 operands (the PCFA_COMPUTE_DTYPE path) with fp32 accumulation."""
+    from pcfa_tpu.ops.pallas.small_conv import _forward, conv_reference
+
+    x = jnp.asarray(rng.standard_normal((1, 8, 16, 40)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((7, 7, 16, 32)) * 0.1, jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal(32), jnp.bfloat16)
+    out = _forward(x, w, b, True, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = conv_reference(x.astype(jnp.float32), w.astype(jnp.float32),
+                         b.astype(jnp.float32), True)
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               atol=0.15, rtol=0.1)
+
+
 def test_small_conv_pallas_gradients(rng, monkeypatch):
     """custom_vjp (Pallas dx, XLA dW/db) matches autodiff of the XLA conv."""
     import pcfa_tpu.ops.pallas.small_conv as m
@@ -75,8 +90,8 @@ def test_small_conv_pallas_gradients(rng, monkeypatch):
     orig = m._forward
     monkeypatch.setattr(
         m, "_forward",
-        lambda x, k, b, relu, interpret=True: orig(x, k, b, relu,
-                                                   interpret=True),
+        lambda x, k, b, act, interpret=True, plan=None, stride=1: orig(
+            x, k, b, act, interpret=True, stride=stride),
     )
     x = jnp.asarray(rng.standard_normal((1, 8, 8, 36)), jnp.float32)
     w = jnp.asarray(rng.standard_normal((7, 7, 8, 32)) * 0.1, jnp.float32)
@@ -89,6 +104,66 @@ def test_small_conv_pallas_gradients(rng, monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
 
 
+@pytest.mark.parametrize("shape", [
+    (1, 16, 6, 40, 64, 7, 2),    # FlowNetC conv1 (stride 2)
+    (1, 16, 64, 40, 128, 5, 2),  # FlowNetC conv2
+    (2, 12, 12, 36, 64, 7, 2),   # FlowNetS conv1, batch>1
+    (1, 12, 11, 36, 64, 3, 1),   # FlowNetFusion conv0
+])
+def test_small_conv_pallas_strided(rng, shape):
+    from pcfa_tpu.ops.pallas.small_conv import _forward, conv_reference
+
+    B, H, C_in, W, C_out, k, s = shape
+    x = jnp.asarray(rng.standard_normal((B, H, C_in, W)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, k, C_in, C_out)) * 0.1,
+                    jnp.float32)
+    b = jnp.asarray(rng.standard_normal(C_out), jnp.float32)
+    out = _forward(x, w, b, "leaky", interpret=True, stride=s)
+    ref = conv_reference(x, w, b, "leaky", stride=s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_small_conv_pallas_strided_gradients(rng, monkeypatch):
+    import pcfa_tpu.ops.pallas.small_conv as m
+
+    orig = m._forward
+    monkeypatch.setattr(
+        m, "_forward",
+        lambda x, k, b, act, interpret=True, plan=None, stride=1: orig(
+            x, k, b, act, interpret=True, stride=stride),
+    )
+    x = jnp.asarray(rng.standard_normal((1, 8, 6, 24)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((7, 7, 6, 32)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(32), jnp.float32)
+    g1 = jax.grad(lambda *a: jnp.sum(m.small_conv2d(*a, "leaky", 2) ** 2),
+                  argnums=(0, 1, 2))(x, w, b)
+    g2 = jax.grad(lambda *a: jnp.sum(m.conv_reference(*a, "leaky", 2) ** 2),
+                  argnums=(0, 1, 2))(x, w, b)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_flownetc_pallas_branch_matches_xla(rng, monkeypatch):
+    """FlowNetC with the Pallas CL branch (interpret) == the XLA branch."""
+    import pcfa_tpu.models.flownet2 as fn2
+    import pcfa_tpu.ops.pallas.small_conv as m
+
+    orig = m._forward
+    monkeypatch.setattr(
+        m, "_forward",
+        lambda x, k, b, act, interpret=True, plan=None, stride=1: orig(
+            x, k, b, act, interpret=True, stride=stride),
+    )
+    x = jnp.asarray(rng.random((1, 64, 64, 6)), jnp.float32)
+    ref_model = fn2.FlowNetC(use_pallas=False)
+    params = ref_model.init(jax.random.PRNGKey(0), x)["params"]
+    ref = ref_model.apply({"params": params}, x)
+    monkeypatch.setattr(fn2, "_cl_pallas_default", lambda: True)
+    out = fn2.FlowNetC(use_pallas=False).apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
+
+
 def test_spynet_pallas_branch_matches_xla(rng, monkeypatch):
     """SpyNet with use_pallas=True (interpret mode) == the XLA branch."""
     import pcfa_tpu.ops.pallas.small_conv as m
@@ -96,8 +171,8 @@ def test_spynet_pallas_branch_matches_xla(rng, monkeypatch):
     orig = m._forward
     monkeypatch.setattr(
         m, "_forward",
-        lambda x, k, b, relu, interpret=True: orig(x, k, b, relu,
-                                                   interpret=True),
+        lambda x, k, b, act, interpret=True, plan=None, stride=1: orig(
+            x, k, b, act, interpret=True, stride=stride),
     )
     from pcfa_tpu.models.spynet import SpyNet
 
