@@ -34,6 +34,31 @@ def _leaky(x):
     return nn.leaky_relu(x, 0.1)
 
 
+def _conv_pallas_default() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+class _PConv3(nn.Module):
+    """Param-tree twin of `nn.Conv` running the shifted-slab Pallas kernel
+    (`ops/pallas/small_conv.py`) with a fused LeakyReLU epilogue — for the
+    feature pyramid's small-channel 3×3 convs that XLA pads to 128 lanes."""
+
+    features: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x):  # x NHWC
+        c_in = x.shape[-1]
+        kern = self.param("kernel", nn.initializers.lecun_normal(),
+                          (3, 3, c_in, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        from pcfa_tpu.ops.pallas.small_conv import small_conv2d
+
+        out = small_conv2d(x.transpose(0, 1, 3, 2).astype(kern.dtype),
+                           kern, bias, "leaky", self.stride)
+        return out.transpose(0, 1, 3, 2)
+
+
 class ConvLeaky(nn.Module):
     """`conv()` helper (`PWCNet.py:33-37`): Conv2d + LeakyReLU(0.1)."""
 
@@ -43,6 +68,12 @@ class ConvLeaky(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if (self.dilation == 1 and x.shape[-1] <= 64
+                and self.stride in (1, 2)
+                and x.shape[1] % self.stride == 0
+                and x.shape[2] % self.stride == 0
+                and _conv_pallas_default()):
+            return _PConv3(self.features, self.stride, name="0")(x)
         d = self.dilation
         pad = [(d, d), (d, d)]  # reference always uses padding == dilation
         return _leaky(

@@ -164,6 +164,28 @@ def test_flownetc_pallas_branch_matches_xla(rng, monkeypatch):
                                atol=2e-4, rtol=1e-4)
 
 
+def test_pwcnet_pallas_conv_branch_matches_xla(rng, monkeypatch):
+    """PWCNet with the Pallas ConvLeaky branch (interpret) == XLA branch."""
+    import pcfa_tpu.models.pwcnet as pw
+    import pcfa_tpu.ops.pallas.small_conv as m
+
+    orig = m._forward
+    monkeypatch.setattr(
+        m, "_forward",
+        lambda x, k, b, act, interpret=True, plan=None, stride=1: orig(
+            x, k, b, act, interpret=True, stride=stride),
+    )
+    x1 = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+    x2 = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+    ref_model = pw.PWCDCNet(use_pallas=False)
+    params = ref_model.init(jax.random.PRNGKey(0), x1, x2)["params"]
+    ref = ref_model.apply({"params": params}, x1, x2)
+    monkeypatch.setattr(pw, "_conv_pallas_default", lambda: True)
+    out = pw.PWCDCNet(use_pallas=False).apply({"params": params}, x1, x2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
+
+
 def test_spynet_pallas_branch_matches_xla(rng, monkeypatch):
     """SpyNet with use_pallas=True (interpret mode) == the XLA branch."""
     import pcfa_tpu.ops.pallas.small_conv as m
