@@ -1,11 +1,14 @@
-"""Shifted-slab Pallas conv for tiny channel counts (SpyNet's entire cost).
+"""Shifted-slab Pallas conv for tiny channel counts (stride 1–2).
 
 Why this exists: XLA lowers every NHWC conv onto the MXU by padding both the
 input- and output-channel axes to 128 lanes. SpyNet's `Basic` blocks
 (`SpyNet.py:61-71`: five 7×7 convs, 8→32→64→32→16→2 channels) therefore run
 at 1.5–6% MXU utilization — measured on v5e, a full SpyNet forward+backward
 costs as much as RAFT's despite 30× fewer FLOPs, and ~95% of that is these
-convs (see CLAUDE.md round-2 roadmap; warps are ~12 ms).
+convs (see CLAUDE.md round-2 roadmap; warps are ~12 ms). The stride-2 mode
+covers the encoder heads of the PWCNet/FlowNet family (3–64 input channels
+at full resolution). Measured full-model gains: SpyNet 2.3× fwd+bwd,
+PWCNet attack +16%, FlowNet2 +4.6% (its cost sits in the wide layers).
 
 The kernel reorganizes the conv so BOTH matmul dimensions are hardware-sized
 without materializing im2col patches:
