@@ -82,6 +82,40 @@ class ResidualBlock(nn.Module):
         return nn.relu(x + y)
 
 
+def _stem_pallas_default() -> bool:
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+class StemConv(nn.Module):
+    """The encoders' 7×7/2 RGB stem as a shifted-slab Pallas conv on TPU
+    (3 input channels → XLA pads to 128 lanes; see
+    `ops/pallas/small_conv.py`). Param tree identical to `nn.Conv`."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c_in = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, c_in, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if (_stem_pallas_default() and x.shape[1] % 2 == 0
+                and x.shape[2] % 2 == 0):
+            from pcfa_tpu.ops.pallas.small_conv import small_conv2d
+
+            out = small_conv2d(x.transpose(0, 1, 3, 2).astype(kernel.dtype),
+                               kernel, bias, None, 2)
+            return out.transpose(0, 1, 3, 2)
+        import jax
+
+        return jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(2, 2), padding=((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias
+
+
 class BasicEncoder(nn.Module):
     """`extractor.py:118-192`: 7×7/2 stem + 3 residual stages (64, 96, 128,
     strides 1/2/2) + 1×1 output conv → ÷8 feature map."""
@@ -91,7 +125,7 @@ class BasicEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = tconv(64, (7, 7), strides=2, name="conv1")(x)
+        x = StemConv(64, name="conv1")(x)
         x = nn.relu(make_norm(self.norm_fn, 64, "norm1")(x))
         for i, (dim, stride) in enumerate(((64, 1), (96, 2), (128, 2)), 1):
             x = ResidualBlock(dim, self.norm_fn, stride, name=f"layer{i}_0")(x)

@@ -164,6 +164,27 @@ def test_flownetc_pallas_branch_matches_xla(rng, monkeypatch):
                                atol=2e-4, rtol=1e-4)
 
 
+def test_basic_encoder_stem_pallas_matches_xla(rng, monkeypatch):
+    """RAFT/GMA BasicEncoder with the Pallas 7×7/2 stem == XLA branch."""
+    import pcfa_tpu.models.layers as ly
+    import pcfa_tpu.ops.pallas.small_conv as m
+
+    orig = m._forward
+    monkeypatch.setattr(
+        m, "_forward",
+        lambda x, k, b, act, interpret=True, plan=None, stride=1: orig(
+            x, k, b, act, interpret=True, stride=stride),
+    )
+    x = jnp.asarray(rng.random((1, 32, 48, 3)), jnp.float32)
+    enc = ly.BasicEncoder(output_dim=64, norm_fn="instance")
+    params = enc.init(jax.random.PRNGKey(0), x)["params"]
+    ref = enc.apply({"params": params}, x)
+    monkeypatch.setattr(ly, "_stem_pallas_default", lambda: True)
+    out = enc.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
+
+
 def test_pwcnet_pallas_conv_branch_matches_xla(rng, monkeypatch):
     """PWCNet with the Pallas ConvLeaky branch (interpret) == XLA branch."""
     import pcfa_tpu.models.pwcnet as pw
