@@ -83,16 +83,14 @@ class ResidualBlock(nn.Module):
 
 
 def _stem_pallas_default() -> bool:
-    # OPT-IN (PCFA_PALLAS_STEM=1): the small-conv kernel's raw-HBM operand
-    # cannot be batched by jax.vmap with batch size > 1, and the RAFT/GMA
-    # attack paths vmap pairs per chip (bench --batch 2). Measured gain is
-    # +2.9%/closure; re-enable by default once the kernel's input moves to
-    # BlockSpec pipelining.
+    # (the kernel's BlockSpec-pipelined input is jax.vmap-batchable, so the
+    # stem is safe under the bench's 2-pairs-per-chip vmap; PCFA_PALLAS_STEM=0
+    # opts out)
     import os
 
     import jax
 
-    return (os.environ.get("PCFA_PALLAS_STEM") == "1"
+    return (os.environ.get("PCFA_PALLAS_STEM", "1") == "1"
             and jax.default_backend() == "tpu")
 
 

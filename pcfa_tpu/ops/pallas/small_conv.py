@@ -121,15 +121,15 @@ def _pick_wblk(WN: int, target: int = 768) -> int:
     return d
 
 
-def _kernel(xp_ref, what_ref, bias_ref, out_ref, slab, sem, *, k: int,
+def _kernel(slab_ref, what_ref, bias_ref, out_ref, *, k: int,
             TH: int, G: int, grps: int, c_out: int, WBLK: int,
             stride: int, act: str | None):
-    """xp_ref: (s, B, H+2p, C, WqL) lane-phase-split padded input in HBM —
-    phase q holds virtual lanes ℓ ≡ q (mod s), so the stride-s horizontal
-    tap dx becomes a contiguous lane-offset slice (dx//s) of phase dx%s."""
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    wb = pl.program_id(2)
+    """slab_ref block: (1, 1, 1, s, rows, C_pad, WL) — this grid step's
+    lane-phase-split input slab (phase q holds virtual lanes ℓ ≡ q mod s,
+    so the stride-s horizontal tap dx is a contiguous lane-offset slice
+    dx//s of phase dx%s). Slabs are pre-gathered with their halos in XLA
+    and pipelined by Pallas as ordinary VMEM blocks — which keeps the
+    kernel `jax.vmap`-batchable (a raw HBM ref is not)."""
     rows = stride * TH + k - 1
     M = TH * c_out
     WL = WBLK + 128
@@ -137,15 +137,8 @@ def _kernel(xp_ref, what_ref, bias_ref, out_ref, slab, sem, *, k: int,
     acc = jnp.zeros((M, WBLK), jnp.float32)
     for g in range(grps):
         for q in range(stride):
-            cp = pltpu.make_async_copy(
-                xp_ref.at[q, b, pl.ds(stride * i * TH, rows),
-                          pl.ds(g * G, G), pl.ds(wb * WBLK, WL)],
-                slab,
-                sem,
-            )
-            cp.start()
-            cp.wait()
-            s2 = slab[:].reshape(rows * G, WL)
+            s2 = slab_ref[0, 0, 0, q, :, g * G:(g + 1) * G, :].reshape(
+                rows * G, WL)
             for a in range((k - q + stride - 1) // stride):
                 dx = stride * a + q
                 acc = acc + jnp.dot(
@@ -190,9 +183,22 @@ def _forward(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
 
     # virtual padded lanes ℓ = s·x_out + dx hold input column ℓ − p;
     # split into s lane phases so every tap is a contiguous slice
+    WL = WBLK + 128
     xp = jnp.zeros((B, H + 2 * p, c_pad, s * WqL), x.dtype)
     xp = xp.at[:, p:p + H, :c_in, p:p + W].set(x)
-    xps = jnp.stack([xp[..., q::s] for q in range(s)])  # (s, B, H+2p, C, WqL)
+    xps = jnp.stack([xp[..., q::s] for q in range(s)], axis=1)
+    # pre-gather each grid step's halo'd slab (rows overlap by k−1, lanes
+    # by 128): ordinary VMEM blocks that Pallas double-buffers — and that
+    # jax.vmap can batch (a raw HBM ref cannot be)
+    n_i, n_w = Ho // TH, WoN // WBLK
+    slabs = jnp.stack([
+        jnp.stack([
+            xps[:, :, s * i * TH:s * i * TH + rows, :,
+                wb * WBLK:wb * WBLK + WL]
+            for wb in range(n_w)
+        ], axis=1)
+        for i in range(n_i)
+    ], axis=1)  # (B, n_i, n_w, s, rows, C_pad, WL)
     what = _pack_weights(kernel, TH, G, s).astype(x.dtype)
     bias_m = jnp.tile(bias.astype(jnp.float32), TH)[:, None]  # (TH·C_out, 1)
 
@@ -201,9 +207,11 @@ def _forward(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
         functools.partial(_kernel, k=k, TH=TH, G=G, grps=grps, c_out=c_out,
                           WBLK=WBLK, stride=s, act=act),
         out_shape=jax.ShapeDtypeStruct((B, Ho, c_out, WoN), x.dtype),
-        grid=(B, Ho // TH, WoN // WBLK),
+        grid=(B, n_i, n_w),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec((1, 1, 1, s, rows, c_pad, WL),
+                         lambda b, i, w: (b, i, w, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((grps, k, M, rows * G),
                          lambda b, i, w: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -213,12 +221,8 @@ def _forward(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
         out_specs=pl.BlockSpec((1, TH, c_out, WBLK),
                                lambda b, i, w: (b, i, 0, w),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((rows, G, WBLK + 128), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=interpret,
-    )(xps, what, bias_m)
+    )(slabs, what, bias_m)
     return out[:, :, :, :Wo]
 
 
