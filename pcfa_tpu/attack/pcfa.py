@@ -67,8 +67,8 @@ class PCFAConfig:
     lr: float = 1.0
     history_size: int = 100      # torch LBFGS default
     # 'two_loop' (torch-identical rounding) or 'compact' (Byrd–Nocedal–
-    # Schnabel matmul form — algebraically identical, MXU-friendly; ~6×
-    # cheaper per iteration at history_size=100 on TPU)
+    # Schnabel matmul form — algebraically identical, MXU-friendly; 2.1×
+    # cheaper per full-history iteration on v5e: 100.9 → 47.8 ms)
     lbfgs_direction: str = "two_loop"
     # None → fp32 curvature-pair storage; 'bfloat16' halves the optimizer's
     # HBM footprint/streams (2.25 → 1.12 GB per KITTI pair)

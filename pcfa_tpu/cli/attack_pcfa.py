@@ -9,6 +9,7 @@ Mirrors `attack_PCFA.py:570-701` (per-image) and `:297-566` (universal).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -131,12 +132,25 @@ def attack_l2(args) -> dict:
             x1, x2 = common.unit_images(img1, img2)
             n_actual = x1.shape[0]
             if n_actual < pair_chunk:
-                # ragged tail: pad by repeating the last pair, log/save only
-                # the real ones
-                reps = pair_chunk - n_actual
-                x1 = jnp.concatenate([x1] + [x1[-1:]] * reps)
-                x2 = jnp.concatenate([x2] + [x2[-1:]] * reps)
-                flow_gt = np.concatenate([flow_gt] + [flow_gt[-1:]] * reps)
+                # ragged tail: pad by repeating the last pair; log/save only
+                # the real ones. Exact-tail mode pads just to the next
+                # multiple of the device count and lets jit compile a
+                # second, right-sized executable — the default on CPU,
+                # where compiles are cheap. On the tunneled TPU a second
+                # ~20-min compile costs far more than attacking a few
+                # duplicates, so there we pad to the full chunk unless
+                # PCFA_TAIL_EXACT=1 overrides.
+                exact_env = os.environ.get("PCFA_TAIL_EXACT")
+                exact = (jax.default_backend() == "cpu"
+                         if exact_env is None else exact_env == "1")
+                tail = (-(-n_actual // n_dev) * n_dev if exact
+                        else pair_chunk)
+                reps = tail - n_actual
+                if reps:
+                    x1 = jnp.concatenate([x1] + [x1[-1:]] * reps)
+                    x2 = jnp.concatenate([x2] + [x2[-1:]] * reps)
+                    flow_gt = np.concatenate(
+                        [flow_gt] + [flow_gt[-1:]] * reps)
             if attack_jit is None:
                 padder, flow_fn_p = make_flow_fn_p(
                     loaded, x1.shape[1:3], common.pad_mode_for(args.dataset)
@@ -145,11 +159,11 @@ def attack_l2(args) -> dict:
                 # the compile payload — fatal for FlowNet2's 650 MB)
                 flow_init_fn = jax.jit(flow_fn_p)
                 if pair_chunk > 1:
-                    from pcfa_tpu.parallel import data_mesh, pcfa_attack_dp
+                    from pcfa_tpu.parallel import data_mesh, make_pcfa_attack_dp
 
                     mesh = data_mesh()
-                    attack_jit = lambda prm, a, b, t: pcfa_attack_dp(
-                        flow_fn_p, a, b, t, cfg, mesh, params=prm
+                    attack_jit = make_pcfa_attack_dp(
+                        flow_fn_p, cfg, mesh, with_params=True
                     )
                 else:
                     attack_jit = jax.jit(
@@ -326,6 +340,7 @@ def attack_l2_universal(args) -> dict:
 
         for epoch in range(args.epochs):
             print("epoch: %d" % epoch)
+            epoch_ran = False
             for batch, (img1, img2, flow_gt, _valid) in enumerate(_tqdm(loader)):
                 batch_ctr += 1
                 x1, x2 = common.unit_images(img1, img2)
@@ -409,6 +424,7 @@ def attack_l2_universal(args) -> dict:
                 opt_state, metrics, _, flow_pred = step_jit(
                     p1, p2, target, opt_state
                 )
+                epoch_ran = True
                 m = jax.device_get(metrics)
                 for s in range(args.steps):
                     cs = batch_ctr * args.steps + s
@@ -438,6 +454,15 @@ def attack_l2_universal(args) -> dict:
                                 patches, **kw)
 
             # ---- per-epoch artifacts (`attack_PCFA.py:524-560`) -----------
+            if not epoch_ran:
+                # every batch this epoch was dropped by the ragged-batch
+                # guard above → d1/d2/p1/… are unbound; nothing to save
+                raise ValueError(
+                    f"no full batch of size {args.batch_size} in the "
+                    f"dataset — reduce --batch_size (ragged batches are "
+                    f"dropped: the universal δ optimizer state is shaped "
+                    f"for full batches)"
+                )
             save_tensor(d1, f"delta1_e{epoch}", batch_ctr, patches, **kw)
             max_delta = max(float(jnp.abs(d1).max()), float(jnp.abs(d2).max()))
             save_image(d1, batch_ctr, patches, image_name=f"delta1_e{epoch}",

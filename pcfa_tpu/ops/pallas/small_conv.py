@@ -174,6 +174,11 @@ def _forward(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
     p = k // 2
     Ho, Wo = H // s, W // s
     TH, G = plan if plan is not None else _plan(c_in, c_out, Ho, k, s)
+    if H % s or W % s or Ho % TH:
+        # No candidate tile height covers the output (odd Ho, e.g. SpyNet at
+        # H=160 → 5-row coarsest level): the grid would truncate and leave the
+        # tail rows unwritten. Correctness over speed — use the XLA path.
+        return conv_reference(x, kernel, bias, act, stride=s)
     c_pad = _round_up(c_in, G)
     grps = c_pad // G
     rows = s * TH + k - 1

@@ -23,5 +23,9 @@ equivalent:
 """
 
 from pcfa_tpu.parallel.mesh import data_mesh
-from pcfa_tpu.parallel.dp import pcfa_attack_dp, universal_batch_attack_dp
+from pcfa_tpu.parallel.dp import (
+    make_pcfa_attack_dp,
+    pcfa_attack_dp,
+    universal_batch_attack_dp,
+)
 from pcfa_tpu.parallel.sp import space_mesh, spatial_flow_fn

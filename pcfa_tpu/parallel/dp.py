@@ -32,6 +32,42 @@ from pcfa_tpu.attack.pcfa import PCFAConfig, PCFAResult, pcfa_attack
 from pcfa_tpu.attack.universal import UniversalConfig, UniversalMetrics, unpack_deltas
 
 
+def make_pcfa_attack_dp(flow_fn, config: PCFAConfig, mesh: Mesh,
+                        with_params: bool = False):
+    """Build ONE jitted data-parallel attack callable (construct once, call
+    per batch — each `jax.jit` wrapper carries its own trace/compile cache,
+    so rebuilding it per call retraces every batch).
+
+    Returns `attack(images1, images2, targets)` or, with `with_params=True`,
+    `attack(params, images1, images2, targets)` where `flow_fn` is
+    `flow_fn_p(params, x1, x2)` and params ride through the jit replicated
+    (as arguments, not closures — closures embed weights into the compile
+    payload)."""
+
+    def single(flow, x1, x2, t):
+        res = pcfa_attack(flow, x1[None], x2[None], t[None], config)
+        # drop the singleton batch axis the engine adds on image-like
+        # leaves (metric trajectories are (steps,) and keep their shape)
+        return jax.tree.map(lambda a: a[0] if a.ndim == 4 else a, res)
+
+    shard = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    if not with_params:
+        return jax.jit(
+            jax.vmap(functools.partial(single, flow_fn)),
+            in_shardings=(shard, shard, shard),
+        )
+    return jax.jit(
+        jax.vmap(
+            lambda prm, a, b, t: single(
+                functools.partial(flow_fn, prm), a, b, t
+            ),
+            in_axes=(None, 0, 0, 0),
+        ),
+        in_shardings=(rep, shard, shard, shard),
+    )
+
+
 def pcfa_attack_dp(
     flow_fn,
     images1: jnp.ndarray,
@@ -45,35 +81,13 @@ def pcfa_attack_dp(
 
     images1/2: (N, H', W', 3) padded unit images; targets (N, H, W, 2).
     N must be divisible by the mesh size. Returns a PCFAResult whose leaves
-    have a leading N axis. `params`: optional explicit model params (then
-    `flow_fn` is `flow_fn_p(params, x1, x2)`) — replicated across devices,
-    passed as a jit argument, not a closure."""
-
-    def single(flow, x1, x2, t):
-        res = pcfa_attack(flow, x1[None], x2[None], t[None], config)
-        # drop the singleton batch axis the engine adds on image-like
-        # leaves (metric trajectories are (steps,) and keep their shape)
-        return jax.tree.map(lambda a: a[0] if a.ndim == 4 else a, res)
-
-    shard = NamedSharding(mesh, P("data"))
-    rep = NamedSharding(mesh, P())
+    have a leading N axis. One-shot convenience over `make_pcfa_attack_dp`
+    (repeated callers should build the jitted fn once via the maker)."""
     if params is None:
-        fn = jax.jit(
-            jax.vmap(functools.partial(single, flow_fn)),
-            in_shardings=(shard, shard, shard),
-        )
-        return fn(images1, images2, targets)
-
-    fn = jax.jit(
-        jax.vmap(
-            lambda prm, a, b, t: single(
-                functools.partial(flow_fn, prm), a, b, t
-            ),
-            in_axes=(None, 0, 0, 0),
-        ),
-        in_shardings=(rep, shard, shard, shard),
-    )
-    return fn(params, images1, images2, targets)
+        return make_pcfa_attack_dp(flow_fn, config, mesh)(
+            images1, images2, targets)
+    return make_pcfa_attack_dp(flow_fn, config, mesh, with_params=True)(
+        params, images1, images2, targets)
 
 
 def universal_batch_attack_dp(
@@ -98,10 +112,9 @@ def universal_batch_attack_dp(
     compile payload — fatal for FlowNet2-sized models)."""
     cfg = config
     delta_shape = images1.shape[1:]
-    if cfg.loss not in ("aee", "mse"):
+    if cfg.loss not in ("aee", "mse", "cosim"):
         raise NotImplementedError(
-            "sharded universal training supports the separable 'aee'/'mse' "
-            "losses; use the serial engine for 'cosim' (globally normalized)"
+            f"sharded universal training: unknown loss {cfg.loss!r}"
         )
 
     use_params = params is not None
@@ -115,35 +128,57 @@ def universal_batch_attack_dp(
         n_dev = jax.lax.psum(1, "data")
 
         def local_objective(x):
-            """This device's share of the global objective.
+            """Returns (value_for_grad, value_share).
 
-            Summed over devices this is exactly the serial objective:
-            global-mean EPE + penalty. δ (x) is REPLICATED, and shard_map's
-            AD all-reduces cotangents of replicated inputs automatically
-            (the transpose of replication is a psum) — so the grad of this
-            local share IS the global δ-gradient; only the loss value needs
-            an explicit psum. The penalty is divided by the device count so
-            the auto-psum counts it once."""
+            aee/mse — `value_for_grad` is this device's 1/n_dev share of the
+            global objective. δ (x) enters REPLICATED and is promoted to
+            device-varying where it meets the local images (pvary); the
+            transpose of pvary is a psum, so shard_map's AD all-reduces the
+            share gradients into the exact global δ-gradient. The penalty
+            rides the same promotion (invariant + varying add), so its
+            share must also carry 1/n_dev.
+
+            cosim — a ratio of GLOBAL sums (dot, ‖pred‖², ‖target‖²; cf.
+            losses.f_cosim, reference `losses.py:76-88`), psummed INSIDE
+            the objective. That makes `value_for_grad` replication-invariant
+            and the share convention wrong for AD: the sim path's gradient
+            is already exact (psum transposes to per-device identity, then
+            the pvary at px1/px2 psums the x-cotangent), and the penalty
+            path never crosses the mesh, so its local gradient is already
+            the global one. Differentiate the EXACT global value, undivided.
+
+            `value_share` always psums to the global objective value."""
             d1, d2 = unpack_deltas(x, delta_shape, cfg.joint_perturbation)
             px1 = jnp.clip(x1_local + d1[None], 0.0, 1.0)
             px2 = jnp.clip(x2_local + d2[None], 0.0, 1.0)
             flow_out = flow(px1, px2)
+            pen = cfg.mu * relu_penalty(d1, d2, cfg.delta_bound)
             if cfg.loss == "aee":
                 sim_local = jnp.sum(
                     jnp.sqrt(jnp.sum((flow_out - tgt_local) ** 2, axis=-1))
                 )
                 n_local = (flow_out.shape[0] * flow_out.shape[1]
                            * flow_out.shape[2])
-            else:  # mse: mean over every element incl. the uv channel
-                sim_local = jnp.sum((flow_out - tgt_local) ** 2)
-                n_local = flow_out.size
-            sim_share = sim_local / (n_local * n_dev)
-            pen_share = cfg.mu * relu_penalty(d1, d2, cfg.delta_bound) / n_dev
-            return sim_share + pen_share
+                share = sim_local / (n_local * n_dev) + pen / n_dev
+                return share, share
+            if cfg.loss == "mse":
+                # mean over every element incl. the uv channel
+                share = (jnp.sum((flow_out - tgt_local) ** 2)
+                         / (flow_out.size * n_dev) + pen / n_dev)
+                return share, share
+            # cosim
+            dot = jax.lax.psum(jnp.sum(flow_out * tgt_local), "data")
+            np2 = jax.lax.psum(jnp.sum(flow_out * flow_out), "data")
+            nt2 = jax.lax.psum(jnp.sum(tgt_local * tgt_local), "data")
+            v = 1.0 - dot / (jnp.sqrt(np2) * jnp.sqrt(nt2)) + pen
+            # 0·(varying) keeps the share device-varying so the value psum
+            # below is well-typed; it carries no gradient
+            return v, v / n_dev + 0.0 * jnp.sum(flow_out)
 
         def value_and_grad(x):
-            v_loc, g = jax.value_and_grad(local_objective)(x)
-            return jax.lax.psum(v_loc, "data"), g
+            (_, v_share), g = jax.value_and_grad(
+                local_objective, has_aux=True)(x)
+            return jax.lax.psum(v_share, "data"), g
 
         flow_pred_init_local = flow(x1_local, x2_local)
 

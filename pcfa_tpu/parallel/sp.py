@@ -64,4 +64,22 @@ def spatial_flow_fn(
         in_specs=(P(), P(), P()),
         out_specs=P(None, "space"),
     )
-    return lambda x1, x2: fn(params, x1, x2)
+    shards = getattr(model, "spatial_shards", n_dev)
+
+    def checked(x1, x2):
+        H = x1.shape[1]
+        if H % n_dev:
+            raise ValueError(
+                f"spatial sharding needs image height divisible by the "
+                f"'space' mesh size: H={H}, devices={n_dev}. Pad H to a "
+                f"multiple of {n_dev} (on top of the model's pad divisor)."
+            )
+        if (H // 8) % shards:
+            raise ValueError(
+                f"RAFT-family spatial sharding slices the H/8 feature rows: "
+                f"H/8={H // 8} must be divisible by spatial_shards={shards} "
+                f"(H={H}). Pad H to a multiple of {8 * shards}."
+            )
+        return fn(params, x1, x2)
+
+    return checked

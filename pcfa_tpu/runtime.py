@@ -109,20 +109,31 @@ def load_model(
     module, spec = make_model(name, **overrides)
     path = checkpoint or WEIGHT_PATHS.get(name)
 
+    params = None
     if path and os.path.exists(path):
-        params = _load_converted_cached(name, path, spec)
-    elif init_random:
+        try:
+            params = _load_converted_cached(name, path, spec)
+        except FileNotFoundError as e:
+            # e.g. an empty weights dir left behind by an aborted download
+            # script: treat exactly like an absent checkpoint
+            if not init_random:
+                raise FileNotFoundError(
+                    f"Loading the model failed, because the checkpoint at "
+                    f"{path} is incomplete ({e}). Consider re-running "
+                    f"scripts/load_all_weights.sh"
+                ) from e
+    if params is None:
+        if not init_random:
+            raise FileNotFoundError(
+                f"Loading the model failed, because the checkpoint path was "
+                f"invalid. Are the checkpoints placed in "
+                f"models/_pretrained_weights/? Consider executing the "
+                f"checkpoint loading script from scripts/load_all_weights.sh "
+                f"(missing: {path})"
+            )
         d = spec.pad_divisor
         x = jnp.zeros((1, 2 * d, 2 * d, 3), jnp.float32)
         params = module.init(jax.random.PRNGKey(seed), x, x)["params"]
-    else:
-        raise FileNotFoundError(
-            f"Loading the model failed, because the checkpoint path was "
-            f"invalid. Are the checkpoints placed in "
-            f"models/_pretrained_weights/? Consider executing the checkpoint "
-            f"loading script from scripts/load_all_weights.sh "
-            f"(missing: {path})"
-        )
     return LoadedModel(name=name, module=module, params=params, spec=spec)
 
 

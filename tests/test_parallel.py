@@ -187,11 +187,27 @@ def test_pcfa_engine_composes_with_spatial_flow():
     assert float(res.metrics.l2_delta12[-1]) > 0.0
 
 
-def test_universal_dp_cosim_rejected(flow_fn, batch):
+def test_universal_dp_cosim_matches_serial(flow_fn, batch):
+    """cosim is a ratio of GLOBAL sums; the sharded path decomposes it into
+    three psums (dot, ‖pred‖², ‖target‖²) whose trajectory must match the
+    serial engine (reference losses.py:76-88 semantics, corrected form)."""
     x1, x2 = batch
-    cfg = UniversalConfig(steps=1, max_iter=1, loss="cosim")
-    with pytest.raises(NotImplementedError):
-        universal_batch_attack_dp(
-            flow_fn, x1, x2, jnp.zeros((NDEV, H, W, 2)),
-            universal_init((H, W, 3), cfg), cfg, data_mesh(NDEV),
-        )
+    # non-zero target: cosim's gradient vanishes identically at target=0
+    rng = np.random.default_rng(3)
+    target = jnp.asarray(rng.normal(size=(NDEV, H, W, 2)), jnp.float32)
+    cfg = UniversalConfig(steps=1, max_iter=3, delta_bound=0.01, mu=1000.0,
+                          loss="cosim")
+    mesh = data_mesh(NDEV)
+    opt0 = universal_init((H, W, 3), cfg)
+    opt_s, m_s, _, _ = jax.jit(
+        lambda a, b, t, o: universal_batch_attack(flow_fn, a, b, t, o, cfg)
+    )(x1, x2, target, opt0)
+    opt_p, m_p, _, _ = universal_batch_attack_dp(
+        flow_fn, x1, x2, target, opt0, cfg, mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(opt_s.x), np.asarray(opt_p.x), rtol=1e-2, atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_s.loss), np.asarray(m_p.loss), rtol=1e-3, atol=1e-6
+    )
