@@ -45,6 +45,32 @@ if os.environ.get("PCFA_CPU"):
 # measured on this machine (see module docstring / BASELINE.md)
 CPU_BASELINE_PAIRS_PER_SEC = 2.175e-4
 
+#: dense peak FLOPs/s per chip by `jax.Device.device_kind` (bf16 matmul
+#: peak — the bench's default compute dtype). Sources: public TPU spec
+#: sheets (v5e 197 TFLOPs bf16, v4 275, v5p 459, v6e 918).
+PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v5p": 459e12,
+    "TPU v5": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+
+def analytic_flops(lowered) -> float | None:
+    """Analytic FLOPs of a lowered (pre-XLA-optimization) computation.
+
+    Counts every dot/conv at nominal cost — an honest denominator-side
+    *under*estimate is impossible (XLA can only remove work), so the MFU
+    derived from it is an upper bound on the true utilization, modulo the
+    fp32-HIGHEST convention of counting a 6-pass matmul once."""
+    try:
+        return float(lowered.cost_analysis()["flops"])
+    except Exception:
+        return None
+
 SMOKE = os.environ.get("PCFA_BENCH_PRESET") == "smoke"
 
 
@@ -146,6 +172,9 @@ def main():
           f"lbfgs_history={os.environ['PCFA_LBFGS_DTYPE'] or 'float32'} "
           f"direction={os.environ.get('PCFA_LBFGS_DIRECTION', 'compact')}",
           file=sys.stderr)
+    print("# caveat: bf16-stack attack quality validated on RANDOM-INIT "
+          "weights only (scripts/validate_precision.py); real-weight AEE "
+          "parity pending weight downloads (BASELINE.md)", file=sys.stderr)
 
     overrides = {"iters": raft_iters} if args.net in ("RAFT", "GMA",
                                                       "RAFT-small") else {}
@@ -225,6 +254,18 @@ def main():
         _ = float(metrics.loss[0, -1])
         return metrics
 
+    # analytic FLOPs per attacked pair (MFU numerator): one init closure +
+    # steps outer L-BFGS segments, counted on the pre-optimization HLO
+    state0, fpi0 = jax.eval_shape(init_jit, params, x1, x2)
+    init_flops = analytic_flops(init_jit.lower(params, x1, x2))
+    step_flops = analytic_flops(
+        step_jit.lower(params, x1, x2, target, fpi0, state0)
+    )
+    flops_per_pair = None
+    if init_flops is not None and step_flops is not None:
+        flops_per_pair = (init_flops + -(-steps // chunk) * step_flops) / B
+        print(f"# analytic FLOPs/pair: {flops_per_pair:.3e}", file=sys.stderr)
+
     t0 = time.perf_counter()
     run_pair()
     compile_and_first = time.perf_counter() - t0
@@ -245,6 +286,13 @@ def main():
     else:
         baseline = CPU_BASELINE_PAIRS_PER_SEC
 
+    peak = PEAK_FLOPS.get(dev.device_kind)
+    mfu = None
+    if flops_per_pair is not None and peak is not None:
+        mfu = round(value * flops_per_pair / peak, 4)
+        print(f"# MFU: {mfu:.1%} of {peak / 1e12:.0f} TFLOPs/s "
+              f"({dev.device_kind}, bf16 peak)", file=sys.stderr)
+
     print(json.dumps({
         "metric": "attacked frame-pairs/sec/chip "
                   f"({args.net} PCFA steps={steps} maxiter={max_iter}, "
@@ -252,6 +300,8 @@ def main():
         "value": round(value, 6),
         "unit": "pairs/s/chip",
         "vs_baseline": round(value / baseline, 2),
+        "mfu": mfu,
+        "flops_per_pair": flops_per_pair,
     }))
 
 
