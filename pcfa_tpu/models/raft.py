@@ -31,7 +31,13 @@ import jax
 import jax.numpy as jnp
 
 from pcfa_tpu.models.layers import BasicEncoder, tconv
-from pcfa_tpu.ops.correlation import allpairs_correlation, corr_lookup_mm, corr_pyramid
+from pcfa_tpu.ops.correlation import (
+    allpairs_correlation,
+    corr_lookup_fused,
+    corr_lookup_mm,
+    corr_pyramid,
+    f2_feature_pyramid,
+)
 from pcfa_tpu.ops.warp import coords_grid
 
 
@@ -139,19 +145,38 @@ class RAFTScanBody(nn.Module):
     #: re-assembled with one tiled all_gather over the named mesh axis
     spatial_axis: str | None = None
     spatial_shards: int = 1
+    #: 'materialized' — pyramid holds corr maps (volume built once);
+    #: 'fused' — pyramid holds pooled f2 FEATURE maps + const carries fmap1,
+    #: and the volume rows are rebuilt blockwise per lookup (alt_cuda_corr
+    #: analog, never materializing O(N²); `ops/correlation.py`)
+    corr_impl: str = "materialized"
+    corr_block: int = 1024
 
     @nn.compact
     def __call__(self, carry, const):
         net, coords1 = carry
-        inp, coords0, pyramid = const
+        if self.corr_impl == "fused":
+            inp, coords0, fmap1, pyramid = const
+        else:
+            inp, coords0, pyramid = const
         coords1 = jax.lax.stop_gradient(coords1)  # raft.py:123
         if self.spatial_axis is not None:
             hs = coords1.shape[1] // self.spatial_shards
             r0 = jax.lax.axis_index(self.spatial_axis) * hs
             c_loc = jax.lax.dynamic_slice_in_dim(coords1, r0, hs, axis=1)
-            corr_loc = corr_lookup_mm(list(pyramid), c_loc, self.corr_radius)
+            if self.corr_impl == "fused":
+                f1_loc = jax.lax.dynamic_slice_in_dim(fmap1, r0, hs, axis=1)
+                corr_loc = corr_lookup_fused(
+                    f1_loc, list(pyramid), c_loc, self.corr_radius,
+                    self.corr_block)
+            else:
+                corr_loc = corr_lookup_mm(list(pyramid), c_loc,
+                                          self.corr_radius)
             corr = jax.lax.all_gather(corr_loc, self.spatial_axis,
                                       axis=1, tiled=True)
+        elif self.corr_impl == "fused":
+            corr = corr_lookup_fused(fmap1, list(pyramid), coords1,
+                                     self.corr_radius, self.corr_block)
         else:
             corr = corr_lookup_mm(list(pyramid), coords1, self.corr_radius)
         flow = coords1 - coords0
@@ -192,6 +217,10 @@ class RAFT(nn.Module):
     #: replicated. See `parallel/sp.py`.
     spatial_axis: str | None = None
     spatial_shards: int = 1
+    #: 'fused' = blockwise volume-free correlation (see RAFTScanBody); the
+    #: memory lever for ≥2× KITTI-resolution frames or larger per-chip batch
+    corr_impl: str = "materialized"
+    corr_block: int = 1024
 
     @nn.compact
     def __call__(self, image1: jnp.ndarray, image2: jnp.ndarray):
@@ -203,14 +232,19 @@ class RAFT(nn.Module):
         fmaps = fnet(jnp.concatenate([x1, x2], axis=0))
         fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
 
-        if self.spatial_axis is not None:
+        if self.corr_impl == "fused":
+            # pooled FEATURE maps; corr rows rebuilt blockwise per lookup
+            pyramid = f2_feature_pyramid(fmap2, self.corr_levels)
+            corr_vol = None
+        elif self.spatial_axis is not None:
             hs = fmap1.shape[1] // self.spatial_shards
             r0 = jax.lax.axis_index(self.spatial_axis) * hs
             f1_loc = jax.lax.dynamic_slice_in_dim(fmap1, r0, hs, axis=1)
             corr_vol = allpairs_correlation(f1_loc, fmap2)
+            pyramid = corr_pyramid(corr_vol, self.corr_levels)
         else:
             corr_vol = allpairs_correlation(fmap1, fmap2)
-        pyramid = corr_pyramid(corr_vol, self.corr_levels)
+            pyramid = corr_pyramid(corr_vol, self.corr_levels)
 
         cnet = BasicEncoder(output_dim=self.hidden_dim + self.context_dim,
                             norm_fn="batch", name="cnet")(x1)
@@ -226,7 +260,11 @@ class RAFT(nn.Module):
         if self.spatial_axis is not None:
             # the per-iteration all_gather makes the carries device-varying;
             # seed that variance into the initial carry (vma consistency)
-            seed = 0.0 * corr_vol.reshape(-1)[0]
+            if corr_vol is not None:
+                seed = 0.0 * corr_vol.reshape(-1)[0]
+            else:
+                seed = 0.0 * jax.lax.axis_index(self.spatial_axis).astype(
+                    net.dtype)
             net = net + seed
             coords1 = coords1 + seed
 
@@ -239,11 +277,13 @@ class RAFT(nn.Module):
             length=self.iters,
         )(self.hidden_dim, self.corr_radius,
           spatial_axis=self.spatial_axis, spatial_shards=self.spatial_shards,
+          corr_impl=self.corr_impl, corr_block=self.corr_block,
           name="update_block")
 
-        (net, coords1), masks = scanned(
-            (net, coords1), (inp, coords0, tuple(pyramid))
-        )
+        const = ((inp, coords0, fmap1, tuple(pyramid))
+                 if self.corr_impl == "fused"
+                 else (inp, coords0, tuple(pyramid)))
+        (net, coords1), masks = scanned((net, coords1), const)
         up_mask = masks[-1]
 
         flow_lr = coords1 - coords0

@@ -134,6 +134,102 @@ def corr_lookup_mm(
     return jnp.concatenate(out_pyramid, axis=-1)
 
 
+def f2_feature_pyramid(fmap2: jnp.ndarray, num_levels: int = 4) -> list[jnp.ndarray]:
+    """Pooled FEATURE pyramid for the fused (non-materializing) corr path.
+
+    Average-pooling the correlation volume over its (i, j) axes commutes
+    with the channel dot product:
+        avgpool²ˡ(⟨f1[n], f2[·,·]⟩)[i, j] = ⟨f1[n], avgpool²ˡ(f2)[i, j]⟩,
+    so the level-l corr map equals a correlation against the pooled feature
+    map — exactly the trick `alt_cuda_corr` uses (`raft/corr.py:63-91`
+    pools fmap2, not the volume). fmap2: (B, H2, W2, C) → list of
+    (B, H2/2ˡ, W2/2ˡ, C)."""
+    levels = [fmap2]
+    for _ in range(num_levels - 1):
+        levels.append(avg_pool2d(levels[-1], 2, 2))
+    return levels
+
+
+def corr_lookup_fused(
+    fmap1: jnp.ndarray,
+    f2_levels: list[jnp.ndarray],
+    coords: jnp.ndarray,
+    radius: int = 4,
+    block: int = 1024,
+) -> jnp.ndarray:
+    """Fused all-pairs-correlation + window lookup that NEVER materializes
+    the O(N²) volume (the `alt_cuda_corr` analog, SURVEY.md §2.5 #5 /
+    §5 "flagship"; reference stub `raft/corr.py:63-91`).
+
+    Equivalent (up to fp association) to
+        corr_lookup_mm(corr_pyramid(allpairs_correlation(f1, f2), L), coords)
+    but blockwise over queries: for each block of `block` query positions it
+    builds the corr rows `f1_blk @ f2_lᵀ / √C` on the fly (MXU matmul
+    against the VMEM-resident pooled feature map) and immediately applies
+    the separable bilinear window matmuls of `corr_lookup_mm`. Peak live
+    memory per block is `block · H2·W2` instead of `N · H2·W2`; the block
+    body is `jax.checkpoint`ed so the backward pass recomputes the corr
+    rows instead of storing them. This is what makes ≥2× KITTI-resolution
+    attacks fit v5e HBM.
+
+    fmap1: (B, H1, W1, C); f2_levels from `f2_feature_pyramid`;
+    coords: (B, H1, W1, 2). Returns (B, H1, W1, L·(2r+1)²) in fp32,
+    channel order identical to `corr_lookup` (x gets the first offset axis,
+    the reference's transposed-window quirk `raft/corr.py:37-43`).
+    """
+    r = radius
+    P = 2 * r + 1
+    B, H1, W1, C = fmap1.shape
+    L = len(f2_levels)
+    N = H1 * W1
+    inv_sqrt_c = 1.0 / jnp.sqrt(jnp.asarray(C, jnp.float32))
+    lin = jnp.linspace(-r, r, P, dtype=jnp.float32)
+
+    T = min(block, N)
+    nb = -(-N // T)
+    pad = nb * T - N
+
+    def single(f1, c, levels):
+        # f1: (N, C), c: (N, 2)
+        f1p = jnp.pad(f1, ((0, pad), (0, 0))).reshape(nb, T, C)
+        cp = jnp.pad(c, ((0, pad), (0, 0))).reshape(nb, T, 2)
+
+        @jax.checkpoint
+        def block_fn(f1_blk, c_blk):
+            outs = []
+            for i, f2_l in enumerate(levels):
+                H2, W2, _ = f2_l.shape
+                corr = (
+                    jnp.einsum(
+                        "tc,mc->tm", f1_blk, f2_l.reshape(H2 * W2, C),
+                        precision=jax.lax.Precision.HIGHEST,
+                    ).astype(jnp.float32)
+                    * inv_sqrt_c
+                ).reshape(T, H2, W2)
+                cl = c_blk.astype(jnp.float32) / 2**i
+                sx = cl[:, 0:1, None] + lin[None, :, None]  # (T, P, 1)
+                sy = cl[:, 1:2, None] + lin[None, :, None]
+                ix = jnp.arange(W2, dtype=jnp.float32)[None, None, :]
+                iy = jnp.arange(H2, dtype=jnp.float32)[None, None, :]
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx - ix))  # (T, P, W2)
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy - iy))  # (T, P, H2)
+                tmp = jnp.einsum("tbj,tjk->tbk", wy, corr,
+                                 precision=jax.lax.Precision.HIGHEST)
+                win = jnp.einsum("tak,tbk->tab", wx, tmp,
+                                 precision=jax.lax.Precision.HIGHEST)
+                outs.append(win.reshape(T, P * P))
+            return jnp.concatenate(outs, axis=-1)
+
+        out = jax.lax.map(lambda ab: block_fn(*ab), (f1p, cp))
+        return out.reshape(nb * T, L * P * P)[:N]
+
+    out = jax.vmap(single)(
+        fmap1.reshape(B, N, C), coords.reshape(B, N, 2),
+        [lvl for lvl in f2_levels],
+    )
+    return out.reshape(B, H1, W1, L * P * P)
+
+
 def local_correlation(
     fmap1: jnp.ndarray,
     fmap2: jnp.ndarray,

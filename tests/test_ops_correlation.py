@@ -128,3 +128,35 @@ def test_corr_lookup_mm_equals_gather(rng):
     gb = jax.grad(lambda p: jnp.sum(correlation.corr_lookup_mm(p, coords, 4) ** 2))(pyr)
     for x, y in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4)
+
+
+def test_corr_lookup_fused_matches_materialized(rng):
+    """The non-materializing blockwise lookup (alt_cuda_corr analog,
+    SURVEY.md §5 flagship) == volume + pyramid + mm lookup: values and all
+    three gradients (f1, f2, coords), including a ragged final block."""
+    import jax
+
+    B, H, W, C, L = 2, 16, 24, 32, 3
+    f1 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    coords = jnp.asarray(rng.uniform(-3, 27, (B, H, W, 2)), jnp.float32)
+
+    def ref(a, b, c):
+        pyr = correlation.corr_pyramid(correlation.allpairs_correlation(a, b), L)
+        return correlation.corr_lookup_mm(pyr, c, 4)
+
+    def fused(a, b, c):
+        return correlation.corr_lookup_fused(
+            a, correlation.f2_feature_pyramid(b, L), c, 4, block=100
+        )  # block=100 ∤ 384 queries → exercises the padded ragged tail
+
+    np.testing.assert_allclose(
+        np.asarray(ref(f1, f2, coords)), np.asarray(fused(f1, f2, coords)),
+        atol=2e-5,
+    )
+    ga = jax.grad(lambda a, b, c: jnp.sum(jnp.sin(ref(a, b, c))),
+                  argnums=(0, 1, 2))(f1, f2, coords)
+    gb = jax.grad(lambda a, b, c: jnp.sum(jnp.sin(fused(a, b, c))),
+                  argnums=(0, 1, 2))(f1, f2, coords)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4)
