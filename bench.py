@@ -130,6 +130,14 @@ def main():
                     "0 = one dispatch per outer step. Larger chunks amortize "
                     "the per-dispatch overhead of tunneled backends but "
                     "raise per-program runtime (tunnel watchdog).")
+    ap.add_argument("--corr-impl", default="materialized",
+                    choices=["materialized", "fused"],
+                    help="RAFT/GMA correlation: 'fused' never materializes "
+                    "the O(N^2) volume (blockwise rebuild per lookup) — "
+                    "the memory lever for --size beyond KITTI or larger "
+                    "--batch")
+    ap.add_argument("--corr-block", type=int, default=1024,
+                    help="query-block size for --corr-impl=fused")
     ap.add_argument("--net", default="RAFT",
                     choices=["RAFT", "GMA", "PWCNet", "SpyNet", "FlowNet2",
                              "RAFT-small"],
@@ -178,9 +186,13 @@ def main():
 
     overrides = {"iters": raft_iters} if args.net in ("RAFT", "GMA",
                                                       "RAFT-small") else {}
+    if args.corr_impl != "materialized":
+        overrides.update(corr_impl=args.corr_impl,
+                         corr_block=args.corr_block)
     if args.batch == 0:
         args.batch = 2 if args.net in ("RAFT", "GMA", "RAFT-small") else 1
-    print(f"# batch={args.batch} remat={args.remat}", file=sys.stderr)
+    print(f"# batch={args.batch} remat={args.remat} "
+          f"corr={args.corr_impl}", file=sys.stderr)
     if args.net in ("RAFT", "GMA", "RAFT-small"):
         if args.remat == "on" or (args.remat == "auto" and args.batch > 1):
             # batched pairs: trade recompute for activation memory (without
@@ -296,7 +308,9 @@ def main():
     print(json.dumps({
         "metric": "attacked frame-pairs/sec/chip "
                   f"({args.net} PCFA steps={steps} maxiter={max_iter}, "
-                  f"{H}x{W})" + (" [SMOKE]" if SMOKE else ""),
+                  f"{H}x{W}"
+                  + (", fused-corr" if args.corr_impl == "fused" else "")
+                  + ")" + (" [SMOKE]" if SMOKE else ""),
         "value": round(value, 6),
         "unit": "pairs/s/chip",
         "vs_baseline": round(value / baseline, 2),

@@ -34,7 +34,13 @@ from pcfa_tpu.models.raft import (
     SepConvGRU,
     upsample_flow_convex,
 )
-from pcfa_tpu.ops.correlation import allpairs_correlation, corr_lookup_mm, corr_pyramid
+from pcfa_tpu.ops.correlation import (
+    allpairs_correlation,
+    corr_lookup_fused,
+    corr_lookup_mm,
+    corr_pyramid,
+    f2_feature_pyramid,
+)
 from pcfa_tpu.ops.warp import coords_grid
 
 
@@ -167,21 +173,37 @@ class GMAScanBody(nn.Module):
     heads: int = 1
     spatial_axis: str | None = None
     spatial_shards: int = 1
+    #: see RAFTScanBody — 'fused' rebuilds corr rows blockwise per lookup
+    corr_impl: str = "materialized"
+    corr_block: int = 1024
 
     @nn.compact
     def __call__(self, carry, const):
         from pcfa_tpu.models.layers import tconv
 
         net, coords1 = carry
-        inp, coords0, attention, pyramid = const
+        if self.corr_impl == "fused":
+            inp, coords0, attention, fmap1, pyramid = const
+        else:
+            inp, coords0, attention, pyramid = const
         coords1 = jax.lax.stop_gradient(coords1)  # network.py:108
         if self.spatial_axis is not None:
             hs = coords1.shape[1] // self.spatial_shards
             r0 = jax.lax.axis_index(self.spatial_axis) * hs
             c_loc = jax.lax.dynamic_slice_in_dim(coords1, r0, hs, axis=1)
-            corr_loc = corr_lookup_mm(list(pyramid), c_loc, self.corr_radius)
+            if self.corr_impl == "fused":
+                f1_loc = jax.lax.dynamic_slice_in_dim(fmap1, r0, hs, axis=1)
+                corr_loc = corr_lookup_fused(
+                    f1_loc, list(pyramid), c_loc, self.corr_radius,
+                    self.corr_block)
+            else:
+                corr_loc = corr_lookup_mm(list(pyramid), c_loc,
+                                          self.corr_radius)
             corr = jax.lax.all_gather(corr_loc, self.spatial_axis,
                                       axis=1, tiled=True)
+        elif self.corr_impl == "fused":
+            corr = corr_lookup_fused(fmap1, list(pyramid), coords1,
+                                     self.corr_radius, self.corr_block)
         else:
             corr = corr_lookup_mm(list(pyramid), coords1, self.corr_radius)
         flow = coords1 - coords0
@@ -219,6 +241,9 @@ class GMA(nn.Module):
     #: the correlation volume and the global attention matrix
     spatial_axis: str | None = None
     spatial_shards: int = 1
+    #: 'fused' = blockwise volume-free correlation (see models/raft.py)
+    corr_impl: str = "materialized"
+    corr_block: int = 1024
 
     @nn.compact
     def __call__(self, image1: jnp.ndarray, image2: jnp.ndarray):
@@ -229,14 +254,18 @@ class GMA(nn.Module):
         fmaps = fnet(jnp.concatenate([x1, x2], axis=0))
         fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
 
-        if self.spatial_axis is not None:
+        if self.corr_impl == "fused":
+            pyramid = f2_feature_pyramid(fmap2, self.corr_levels)
+            corr_vol = None
+        elif self.spatial_axis is not None:
             hs = fmap1.shape[1] // self.spatial_shards
             r0 = jax.lax.axis_index(self.spatial_axis) * hs
             f1_loc = jax.lax.dynamic_slice_in_dim(fmap1, r0, hs, axis=1)
             corr_vol = allpairs_correlation(f1_loc, fmap2)
+            pyramid = corr_pyramid(corr_vol, self.corr_levels)
         else:
             corr_vol = allpairs_correlation(fmap1, fmap2)
-        pyramid = corr_pyramid(corr_vol, self.corr_levels)
+            pyramid = corr_pyramid(corr_vol, self.corr_levels)
 
         cnet = BasicEncoder(output_dim=self.hidden_dim + self.context_dim,
                             norm_fn="batch", name="cnet")(x1)
@@ -260,7 +289,11 @@ class GMA(nn.Module):
         if self.spatial_axis is not None:
             # per-iteration all_gathers make the carries device-varying;
             # seed that variance into the initial carry (vma consistency)
-            seed = 0.0 * corr_vol.reshape(-1)[0]
+            if corr_vol is not None:
+                seed = 0.0 * corr_vol.reshape(-1)[0]
+            else:
+                seed = 0.0 * jax.lax.axis_index(self.spatial_axis).astype(
+                    net.dtype)
             net = net + seed
             coords1 = coords1 + seed
 
@@ -273,11 +306,13 @@ class GMA(nn.Module):
             length=self.iters,
         )(self.hidden_dim, self.corr_radius, self.num_heads,
           spatial_axis=self.spatial_axis, spatial_shards=self.spatial_shards,
+          corr_impl=self.corr_impl, corr_block=self.corr_block,
           name="update_block")
 
-        (net, coords1), masks = scanned(
-            (net, coords1), (inp, coords0, attention, tuple(pyramid))
-        )
+        const = ((inp, coords0, attention, fmap1, tuple(pyramid))
+                 if self.corr_impl == "fused"
+                 else (inp, coords0, attention, tuple(pyramid)))
+        (net, coords1), masks = scanned((net, coords1), const)
         up_mask = masks[-1]
 
         flow_lr = coords1 - coords0

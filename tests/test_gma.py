@@ -71,6 +71,34 @@ def test_gma_matches_reference(torch_gma):
     )
 
 
+def test_gma_fused_corr_matches_materialized(torch_gma):
+    """corr_impl='fused' reproduces the materialized path's flow and input
+    gradients (same lever as RAFT's, `models/raft.py`)."""
+    params = _params(torch_gma)
+    m_mat, _ = make_model("GMA", iters=2)
+    m_fus, _ = make_model("GMA", iters=2, corr_impl="fused", corr_block=100)
+
+    rng = np.random.default_rng(5)
+    i1 = jnp.asarray(rng.random((1, H, W, 3)), jnp.float32)
+    i2 = jnp.asarray(rng.random((1, H, W, 3)), jnp.float32)
+
+    def run(model):
+        def loss(x1):
+            _, up = model.apply({"params": params}, x1, i2)
+            return jnp.mean(up**2), up
+
+        (_, up), g = jax.value_and_grad(loss, has_aux=True)(i1)
+        return up, g
+
+    up_m, g_m = run(m_mat)
+    up_f, g_f = run(m_fus)
+    np.testing.assert_allclose(np.asarray(up_m), np.asarray(up_f),
+                               rtol=1e-4, atol=1e-4)
+    scale = float(jnp.abs(g_m).max())
+    np.testing.assert_allclose(np.asarray(g_m), np.asarray(g_f),
+                               atol=1e-4 * max(scale, 1.0))
+
+
 def test_gma_param_tree_matches_init(torch_gma):
     model, _ = make_model("GMA", iters=1)
     x = jnp.zeros((1, 32, 32, 3))
