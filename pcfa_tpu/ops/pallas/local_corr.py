@@ -17,8 +17,13 @@ exceed VMEM (FlowNetC: 256ch at /8), the channel axis is chunked via a
 third (innermost) grid dimension that accumulates into the same output
 block.
 
-Forward kernels + `jax.custom_vjp`: backward reuses the XLA shift-and-sum
-formulation (exactly consistent gradients, no scatters).
+Forward kernels + `jax.custom_vjp` with Pallas BACKWARD kernels: df1 is the
+same shifted-product structure as the forward (per-shift broadcast FMA over
+channels instead of a channel reduce) and df2 is its adjoint, both W-blocked
+with DMA'd halo slabs — one HBM pass each instead of the XLA shift-and-sum
+VJP's up-to-patch² passes (the reference hand-writes exactly these backward
+kernels: `correlation.cpp:126-178`, `correlation_cuda_kernel.cu`). Sizes
+whose slabs exceed VMEM fall back to the XLA formulation.
 """
 
 from __future__ import annotations
@@ -103,6 +108,153 @@ def _kernel_dma(f1_ref, f2p_ref, out_ref, scratch, sem, *, patch: int,
 #: VMEM budgets (bytes); module-level so tests can force the streaming path
 _RESIDENT_BUDGET = 9 * 2**20
 _SLAB_BUDGET = 6 * 2**20
+#: budget for one backward-kernel slab set (df2 loads g AND f1 halos)
+_BWD_SLAB_BUDGET = 8 * 2**20
+#: tests set True to run the custom-VJP kernels interpreted on CPU
+_INTERPRET = False
+
+
+def _dgrad1_kernel(g_ref, f2p_ref, out_ref, scratch, sem, *, patch: int,
+                   stride: int, TH: int, WB: int, R: int, inv_c: float):
+    """df1[y,x,c] = inv_c · Σ_p g[y,x,p] · f2p[y+dy_p, x+dx_p, c].
+
+    Same shifted-product structure as the forward (the reference hand-writes
+    exactly this kernel, `correlation.cpp:126-150`), with the channel reduce
+    replaced by a per-shift broadcast FMA over C. g rides in as a VMEM
+    block; the padded f2 halo slab is DMA'd from HBM per grid step."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    cp = pltpu.make_async_copy(
+        f2p_ref.at[b, pl.ds(i * TH, TH + 2 * R),
+                   pl.ds(j * WB, WB + 2 * R), :],
+        scratch, sem,
+    )
+    cp.start()
+    cp.wait()
+    g = g_ref[0]  # (TH, WB, patch²)
+    acc = jnp.zeros(out_ref.shape[1:], jnp.float32)
+    for iy in range(patch):
+        dy = iy * stride
+        for ix in range(patch):
+            dx = ix * stride
+            ch = iy * patch + ix
+            rows = scratch[pl.ds(dy, TH), pl.ds(dx, WB), :]
+            acc += g[:, :, ch : ch + 1].astype(jnp.float32) * rows.astype(
+                jnp.float32)
+    out_ref[0] = (acc * inv_c).astype(out_ref.dtype)
+
+
+def _dgrad2_kernel(gp_ref, f1p_ref, out_ref, sg, sf, semg, semf, *,
+                   patch: int, stride: int, TH: int, WB: int, R: int,
+                   inv_c: float):
+    """df2[y,x,c] = inv_c · Σ_p g[y−δy_p, x−δx_p, p] · f1[y−δy_p, x−δx_p, c]
+    (δ = shift − R): the adjoint of the forward's shifted products
+    (reference `correlation.cpp:152-178`). With g and f1 zero-padded by R,
+    the read window for an output row tile is rows [y₀, y₀+TH+2R) — the
+    same halo-slab geometry as df1, DMA'd for both operands."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    cpg = pltpu.make_async_copy(
+        gp_ref.at[b, pl.ds(i * TH, TH + 2 * R),
+                  pl.ds(j * WB, WB + 2 * R), :],
+        sg, semg,
+    )
+    cpf = pltpu.make_async_copy(
+        f1p_ref.at[b, pl.ds(i * TH, TH + 2 * R),
+                   pl.ds(j * WB, WB + 2 * R), :],
+        sf, semf,
+    )
+    cpg.start()
+    cpf.start()
+    cpg.wait()
+    cpf.wait()
+    acc = jnp.zeros(out_ref.shape[1:], jnp.float32)
+    for iy in range(patch):
+        sy = 2 * R - iy * stride
+        for ix in range(patch):
+            sx = 2 * R - ix * stride
+            ch = iy * patch + ix
+            gw = sg[sy : sy + TH, sx : sx + WB, ch : ch + 1]
+            fw = sf[sy : sy + TH, sx : sx + WB, :]
+            acc += gw.astype(jnp.float32) * fw.astype(jnp.float32)
+    out_ref[0] = (acc * inv_c).astype(out_ref.dtype)
+
+
+def _bwd_plan(H: int, W: int, C: int, P: int, R: int, dtype_bytes: int):
+    """(TH, WB) for the backward kernels, or None → XLA fallback.
+
+    The df2 slab pair (P-channel g halo + C-channel f1 halo) is the VMEM
+    limiter; widths are blocked in 8-multiples so the DMA extents stay
+    sublane-aligned (2R is a multiple of 8 for both corr flavors)."""
+    for TH in (8, 4, 2, 1):
+        for WB in (512, 256, 128, 64, 32, 16, 8):
+            slab = (TH + 2 * R) * (WB + 2 * R) * (P + C) * dtype_bytes
+            if slab <= _BWD_SLAB_BUDGET:
+                return TH, WB
+    return None
+
+
+def _backward(fmap1, fmap2, g, patch, stride, interpret=False):
+    """Pallas backward: (df1, df2) for `out = corr(f1, f2)` cotangent g."""
+    B, H, W, C = fmap1.shape
+    P = patch * patch
+    R = (patch - 1) // 2 * stride
+    nbytes = fmap1.dtype.itemsize
+    plan = _bwd_plan(H, W, C, P, R, nbytes)
+    if plan is None:
+        return None
+    TH, WB = plan
+    Hp = -(-H // TH) * TH
+    Wp = -(-W // WB) * WB
+    grid = (B, Hp // TH, Wp // WB)
+
+    f2p = jnp.pad(fmap2, ((0, 0), (R, R + Hp - H), (R, R + Wp - W), (0, 0)))
+    f1p = jnp.pad(fmap1, ((0, 0), (R, R + Hp - H), (R, R + Wp - W), (0, 0)))
+    gpad = jnp.pad(g, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+    gp = jnp.pad(g, ((0, 0), (R, R + Hp - H), (R, R + Wp - W), (0, 0)))
+
+    df1 = pl.pallas_call(
+        functools.partial(_dgrad1_kernel, patch=patch, stride=stride,
+                          TH=TH, WB=WB, R=R, inv_c=1.0 / C),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp, C), fmap1.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TH, WB, P), lambda b, i, j: (b, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec((1, TH, WB, C), lambda b, i, j: (b, i, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((TH + 2 * R, WB + 2 * R, C), fmap2.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(gpad, f2p)
+
+    df2 = pl.pallas_call(
+        functools.partial(_dgrad2_kernel, patch=patch, stride=stride,
+                          TH=TH, WB=WB, R=R, inv_c=1.0 / C),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp, C), fmap2.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec((1, TH, WB, C), lambda b, i, j: (b, i, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((TH + 2 * R, WB + 2 * R, P), g.dtype),
+            pltpu.VMEM((TH + 2 * R, WB + 2 * R, C), fmap1.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(gp, f1p)
+
+    return df1[:, :H, :W], df2[:, :H, :W]
 
 
 def _pick_tile_h(H: int, target: int = 8) -> int:
@@ -226,6 +378,10 @@ def _local_fwd(fmap1, fmap2, patch_size):
 
 def _local_bwd(patch_size, res, g):
     fmap1, fmap2 = res
+    out = _backward(fmap1, fmap2, g, patch_size, 1,
+                    interpret=_INTERPRET)
+    if out is not None:
+        return out
     _, vjp = jax.vjp(
         lambda a, b: _xla_local_correlation(a, b, patch_size), fmap1, fmap2
     )
@@ -253,6 +409,11 @@ def _global_fwd(fmap1, fmap2, max_displacement, stride2):
 
 def _global_bwd(max_displacement, stride2, res, g):
     fmap1, fmap2 = res
+    patch = 2 * (max_displacement // stride2) + 1
+    out = _backward(fmap1, fmap2, g, patch, stride2,
+                    interpret=_INTERPRET)
+    if out is not None:
+        return out
     _, vjp = jax.vjp(
         lambda a, b: _xla_global_correlation(a, b, max_displacement, stride2),
         fmap1, fmap2,

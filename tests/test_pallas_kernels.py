@@ -27,8 +27,9 @@ def test_local_corr_pallas_odd_height(rng):
 
 
 def test_local_corr_pallas_gradients(rng, monkeypatch):
-    """custom_vjp backward (XLA formulation) matches autodiff of the XLA op."""
-    # force the pallas forward to run interpreted on CPU
+    """custom_vjp with the Pallas backward kernels (interpret mode) matches
+    autodiff of the XLA op."""
+    # force the pallas forward + backward to run interpreted on CPU
     import pcfa_tpu.ops.pallas.local_corr as m
 
     orig = m._forward
@@ -36,6 +37,7 @@ def test_local_corr_pallas_gradients(rng, monkeypatch):
         m, "_forward",
         lambda a, b, p, s=1, interpret=True: orig(a, b, p, s, interpret=True),
     )
+    monkeypatch.setattr(m, "_INTERPRET", True)
 
     f1 = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), jnp.float32)
     f2 = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), jnp.float32)
@@ -46,6 +48,40 @@ def test_local_corr_pallas_gradients(rng, monkeypatch):
                   argnums=(0, 1))(f1, f2)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_corr_pallas_backward_kernels(rng):
+    """The dedicated df1/df2 Pallas kernels == the XLA shift-and-sum VJP for
+    both corr flavors (incl. stride 2 and a ragged W block), fp32 and bf16."""
+    from pcfa_tpu.ops.correlation import global_correlation
+    from pcfa_tpu.ops.pallas.local_corr import _backward
+
+    B, H, W, C = 2, 12, 20, 16
+    f1 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+
+    # local: patch 9, stride 1
+    g = jnp.asarray(rng.standard_normal((B, H, W, 81)), jnp.float32)
+    d1, d2 = _backward(f1, f2, g, 9, 1, interpret=True)
+    _, vjp = jax.vjp(lambda a, b: local_correlation(a, b, 9), f1, f2)
+    r1, r2 = vjp(g)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(r1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(r2), atol=1e-5)
+
+    # global flavor: max_disp 4 → patch 5, stride 2
+    g = jnp.asarray(rng.standard_normal((B, H, W, 25)), jnp.float32)
+    d1, d2 = _backward(f1, f2, g, 5, 2, interpret=True)
+    _, vjp = jax.vjp(lambda a, b: global_correlation(a, b, 4, 2), f1, f2)
+    r1, r2 = vjp(g)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(r1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(r2), atol=1e-5)
+
+    # bf16 inputs keep the fp32 accumulator
+    d1, d2 = _backward(f1.astype(jnp.bfloat16), f2.astype(jnp.bfloat16),
+                       g.astype(jnp.bfloat16), 5, 2, interpret=True)
+    assert d1.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(d1, np.float32), np.asarray(r1),
+                               atol=0.1)
 
 
 @pytest.mark.parametrize("shape", [
