@@ -87,11 +87,15 @@ def prepare_dataloader(
     small_run: bool = False,
     dstype: str = "clean",
     prefetch: bool = True,
+    process_shard: bool = False,
 ):
     """Dataset factory mirroring `ownutilities.py:171-238`.
 
     `dataset` ∈ {Sintel, Kitti15, Synthetic}; returns (loader, has_gt).
     `small_run` truncates to the first 32 samples (`ownutilities.py:233-236`).
+    `process_shard=True` restricts this host to its contiguous slice of the
+    dataset under multi-host execution (`parallel/multihost.py`); a no-op
+    in single-process runs.
     """
     if dataset == "Sintel":
         if mode == "training":
@@ -138,6 +142,14 @@ def prepare_dataloader(
 
     if small_run:
         ds = _Subset(ds, list(range(min(32, len(ds)))))
+
+    if process_shard:
+        import jax
+
+        if jax.process_count() > 1:
+            from pcfa_tpu.parallel.multihost import process_shard as _shard
+
+            ds = _Subset(ds, _shard(len(ds)))
 
     return DataLoader(ds, batch_size=batch_size, shuffle=shuffle,
                       prefetch=prefetch), has_gt
