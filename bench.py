@@ -59,17 +59,27 @@ PEAK_FLOPS = {
 }
 
 
-def analytic_flops(lowered) -> float | None:
-    """Analytic FLOPs of a lowered (pre-XLA-optimization) computation.
+def analytic_flops(jitted, *args) -> float | None:
+    """Analytic FLOPs of a computation from its pre-XLA-optimization HLO.
 
     Counts every dot/conv at nominal cost — an honest denominator-side
     *under*estimate is impossible (XLA can only remove work), so the MFU
     derived from it is an upper bound on the true utilization, modulo the
-    fp32-HIGHEST convention of counting a 6-pass matmul once."""
-    try:
-        return float(lowered.cost_analysis()["flops"])
-    except Exception:
-        return None
+    fp32-HIGHEST convention of counting a 6-pass matmul once. Tries the
+    default-backend lowering first, then a CPU lowering (tunneled backends
+    may not implement HLO cost analysis)."""
+    attempts = (
+        lambda: jitted.lower(*args),
+        lambda: jitted.trace(*args).lower(lowering_platforms=("cpu",)),
+    )
+    err = None
+    for make in attempts:
+        try:
+            return float(make().cost_analysis()["flops"])
+        except Exception as e:  # noqa: BLE001 — diagnostic only
+            err = e
+    print(f"# cost analysis unavailable: {err!r}", file=sys.stderr)
+    return None
 
 SMOKE = os.environ.get("PCFA_BENCH_PRESET") == "smoke"
 
@@ -269,10 +279,9 @@ def main():
     # analytic FLOPs per attacked pair (MFU numerator): one init closure +
     # steps outer L-BFGS segments, counted on the pre-optimization HLO
     state0, fpi0 = jax.eval_shape(init_jit, params, x1, x2)
-    init_flops = analytic_flops(init_jit.lower(params, x1, x2))
-    step_flops = analytic_flops(
-        step_jit.lower(params, x1, x2, target, fpi0, state0)
-    )
+    init_flops = analytic_flops(init_jit, params, x1, x2)
+    step_flops = analytic_flops(step_jit, params, x1, x2, target, fpi0,
+                                state0)
     flops_per_pair = None
     if init_flops is not None and step_flops is not None:
         flops_per_pair = (init_flops + -(-steps // chunk) * step_flops) / B
