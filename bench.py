@@ -68,18 +68,28 @@ def analytic_flops(jitted, *args) -> float | None:
     fp32-HIGHEST convention of counting a 6-pass matmul once. Tries the
     default-backend lowering first, then a CPU lowering (tunneled backends
     may not implement HLO cost analysis)."""
-    attempts = (
-        lambda: jitted.lower(*args),
-        lambda: jitted.trace(*args).lower(lowering_platforms=("cpu",)),
-    )
-    err = None
-    for make in attempts:
-        try:
-            return float(make().cost_analysis()["flops"])
-        except Exception as e:  # noqa: BLE001 — diagnostic only
-            err = e
-    print(f"# cost analysis unavailable: {err!r}", file=sys.stderr)
-    return None
+    try:
+        return float(jitted.lower(*args).cost_analysis()["flops"])
+    except Exception as e1:  # noqa: BLE001
+        err1 = e1
+    try:
+        # PJRT-C-API backends (e.g. the tunneled TPU) don't implement
+        # pre-compile cost analysis; lower for the TPU *platform* (host-side
+        # only — works without a device) and run the HLO cost analysis with
+        # the local CPU client. Pallas custom calls count 0 FLOPs (slight
+        # undercount → MFU from this is a slight underestimate).
+        from jax._src.lib import _jax
+        from jax.extend.backend import get_backend
+
+        lowered = jitted.trace(*args).lower(lowering_platforms=("tpu",))
+        ca = _jax.hlo_module_cost_analysis(
+            get_backend("cpu"), lowered._lowering.hlo().as_hlo_module()
+        )
+        return float(ca["flops"])
+    except Exception as e2:  # noqa: BLE001 — diagnostic only
+        print(f"# cost analysis unavailable: {err1!r} / {e2!r}",
+              file=sys.stderr)
+        return None
 
 SMOKE = os.environ.get("PCFA_BENCH_PRESET") == "smoke"
 
