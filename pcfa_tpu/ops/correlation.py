@@ -125,6 +125,12 @@ def corr_lookup_mm(
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy - iy))  # (N, P, H2)
 
         cmap = corr.reshape(N, H2, W2)
+        # match the map's dtype: under a bf16 compute stack, fp32 weights
+        # would silently promote the BIG cmap operand to fp32 and turn
+        # these into 6-pass HIGHEST matmuls (precision only relaxes to the
+        # fast bf16 path when the operands themselves are bf16)
+        wy = wy.astype(cmap.dtype)
+        wx = wx.astype(cmap.dtype)
         # rows first (y), then columns (x): out[n, a, b]
         tmp = jnp.einsum("nbj,njk->nbk", wy, cmap,
                          precision=jax.lax.Precision.HIGHEST)  # (N, P, W2)
@@ -173,9 +179,10 @@ def corr_lookup_fused(
     attacks fit v5e HBM.
 
     fmap1: (B, H1, W1, C); f2_levels from `f2_feature_pyramid`;
-    coords: (B, H1, W1, 2). Returns (B, H1, W1, L·(2r+1)²) in fp32,
-    channel order identical to `corr_lookup` (x gets the first offset axis,
-    the reference's transposed-window quirk `raft/corr.py:37-43`).
+    coords: (B, H1, W1, 2). Returns (B, H1, W1, L·(2r+1)²) in fmap1's
+    dtype, channel order identical to `corr_lookup` (x gets the first
+    offset axis, the reference's transposed-window quirk
+    `raft/corr.py:37-43`).
     """
     r = radius
     P = 2 * r + 1
@@ -205,14 +212,18 @@ def corr_lookup_fused(
                         precision=jax.lax.Precision.HIGHEST,
                     ).astype(jnp.float32)
                     * inv_sqrt_c
-                ).reshape(T, H2, W2)
+                ).reshape(T, H2, W2).astype(f1_blk.dtype)
                 cl = c_blk.astype(jnp.float32) / 2**i
                 sx = cl[:, 0:1, None] + lin[None, :, None]  # (T, P, 1)
                 sy = cl[:, 1:2, None] + lin[None, :, None]
                 ix = jnp.arange(W2, dtype=jnp.float32)[None, None, :]
                 iy = jnp.arange(H2, dtype=jnp.float32)[None, None, :]
-                wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx - ix))  # (T, P, W2)
-                wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy - iy))  # (T, P, H2)
+                # weights in the map dtype — see corr_lookup_mm (avoids the
+                # silent fp32 promotion of the big corr operand)
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx - ix)).astype(
+                    corr.dtype)  # (T, P, W2)
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy - iy)).astype(
+                    corr.dtype)  # (T, P, H2)
                 tmp = jnp.einsum("tbj,tjk->tbk", wy, corr,
                                  precision=jax.lax.Precision.HIGHEST)
                 win = jnp.einsum("tak,tbk->tab", wx, tmp,
