@@ -72,3 +72,49 @@ def test_max_flow_length_corrected():
     f = np.zeros((2, 2, 2))
     f[0, 0] = (3.0, 4.0)
     assert max_flow_length(f, None) == 5.0  # sqrt(3²+4²), not the ref's bug
+
+
+def test_mlflow_branch_with_stub(tmp_path, monkeypatch):
+    """Exercise the live-MLflow branch (experiment creation, run lifecycle,
+    param/metric/artifact forwarding — `logging.py:88-111,343-354` analog)
+    against a stub mlflow module, since the real package is absent here."""
+    import types
+
+    import pcfa_tpu.utils.tracking as tr
+
+    calls = []
+
+    class _Exp:
+        experiment_id = "exp7"
+
+    stub = types.SimpleNamespace(
+        create_experiment=lambda name: calls.append(("create", name)),
+        get_experiment_by_name=lambda name: _Exp(),
+        start_run=lambda experiment_id, run_name: (
+            calls.append(("start", experiment_id, run_name)) or
+            types.SimpleNamespace(info=types.SimpleNamespace(run_id="r1"))
+        ),
+        end_run=lambda: calls.append(("end",)),
+        log_param=lambda key, value: calls.append(("param", key, value)),
+        log_metric=lambda key, value, step: calls.append(
+            ("metric", key, value, step)),
+        log_artifact=lambda fp: calls.append(("artifact", fp)),
+    )
+    monkeypatch.setattr(tr, "mlflow", stub)
+
+    with Tracker(str(tmp_path), "RAFT", "PCFA", False, False) as t:
+        assert t._use_mlflow
+        t.log_param("delta_bound", 0.005)
+        t.log_metric("aee_pred-tgt", 1.5, step=3)
+        art = tmp_path / "x.npy"
+        np.save(art, np.zeros(2))
+        t.register_artifact(str(art))
+
+    kinds = [c[0] for c in calls]
+    assert kinds == ["create", "start", "param", "metric", "artifact", "end"]
+    assert ("param", "delta_bound", 0.005) in calls
+    assert ("metric", "aee_pred-tgt", 1.5, 3) in calls
+    # the JSONL sink keeps writing alongside MLflow
+    run_dir = t.folder_path
+    assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
+    assert os.path.exists(os.path.join(run_dir, "params.json"))
