@@ -272,23 +272,29 @@ def _bwd(act, stride, res, g):
         g = g * jnp.where(out > 0, 1.0, 0.1).astype(g.dtype)
     k = kernel.shape[0]
     p = k // 2
+    kernel_t = kernel[::-1, ::-1].transpose(0, 1, 3, 2)
+    zeros = jnp.zeros((kernel.shape[2],), g.dtype)
     if stride == 1:
         # dx: stride-1 SAME conv-transpose identity — same kernel, weights
         # spatially flipped and channel-transposed
-        kernel_t = kernel[::-1, ::-1].transpose(0, 1, 3, 2)
-        zeros = jnp.zeros((kernel.shape[2],), g.dtype)
         dx = _forward(g, kernel_t, zeros, None)
     else:
-        # strided conv transpose via XLA (correct; Pallas phase
-        # decomposition of the transpose is a future optimization)
-        _, vjp = jax.vjp(
-            lambda a: jax.lax.conv_general_dilated(
-                a, kernel, window_strides=(stride, stride),
-                padding=((p, p), (p, p)),
-                dimension_numbers=("NHCW", "HWIO", "NHCW"),
-            ), x,
+        # strided conv transpose = zero-dilate g (interior padding s−1)
+        # back to the input grid, then the SAME stride-1 transpose above.
+        # s²× redundant MACs over the zeros, but they run on this kernel's
+        # full-MXU tiles — still far ahead of XLA's lane-padded transpose
+        # at these channel counts.
+        B, Ho, Co, Wo = g.shape
+        H, W = x.shape[1], x.shape[3]
+        s = stride
+        g_dil = jax.lax.pad(
+            g, jnp.zeros((), g.dtype),
+            ((0, 0, 0),
+             (0, H - (s * (Ho - 1) + 1), s - 1),
+             (0, 0, 0),
+             (0, W - (s * (Wo - 1) + 1), s - 1)),
         )
-        (dx,) = vjp(g)
+        dx = _forward(g_dil, kernel_t, zeros, None)
     # dW[dy, dx, c, o] = Σ_{b,y,w} xpad[b, s·y+dy, c, s·w+dx] · g[b, y, o, w]
     B, H, _, W = x.shape
     xp = jnp.pad(x, ((0, 0), (p, p), (0, 0), (p, p)))
