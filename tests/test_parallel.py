@@ -157,6 +157,34 @@ def test_spatial_sharded_raft_matches_serial(model_name):
         )
 
 
+def test_spatial_sharding_composes_with_fused_corr():
+    """Row-sharding + the volume-free fused lookup together: each device
+    rebuilds corr rows only for its query rows against the replicated
+    pooled f2 features — flow matches the serial fused model."""
+    from pcfa_tpu.models.raft import RAFT
+    from pcfa_tpu.parallel.sp import space_mesh, spatial_flow_fn
+
+    n_dev = 8
+    Hs = Ws = 64
+    serial = RAFT(iters=2, corr_levels=2, corr_impl="fused", corr_block=50)
+    x = jnp.zeros((1, Hs, Ws, 3), jnp.float32)
+    params = RAFT(iters=2, corr_levels=2).init(
+        jax.random.PRNGKey(0), x, x)["params"]
+
+    rng = np.random.default_rng(1)
+    x1 = jnp.asarray(rng.random((1, Hs, Ws, 3)), jnp.float32)
+    x2 = jnp.asarray(rng.random((1, Hs, Ws, 3)), jnp.float32)
+    flow_ref = serial.apply({"params": params}, x1, x2)[1]
+
+    sharded = RAFT(iters=2, corr_levels=2, corr_impl="fused", corr_block=50,
+                   spatial_axis="space", spatial_shards=n_dev)
+    flow_sp = jax.jit(spatial_flow_fn(sharded, params, space_mesh(n_dev)))(
+        x1, x2)
+    np.testing.assert_allclose(
+        np.asarray(flow_sp), np.asarray(flow_ref), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_pcfa_engine_composes_with_spatial_flow():
     """The attack engine runs unchanged on a spatially-sharded flow_fn —
     L-BFGS differentiates through the shard_map'd volume/lookup."""
