@@ -61,6 +61,8 @@ def main():
     ap.add_argument("--max_iter", type=int, default=10)
     ap.add_argument("--net", default="RAFT")
     ap.add_argument("--chunk", type=int, default=5)
+    ap.add_argument("--corr-impl", default="materialized",
+                    choices=["materialized", "fused"])
     args = ap.parse_args()
     H, W = (int(v) for v in args.size.split("x"))
 
@@ -73,6 +75,8 @@ def main():
     print("device:", jax.devices()[0].device_kind, file=sys.stderr)
 
     overrides = {"iters": 12} if args.net in ("RAFT", "GMA") else {}
+    if args.corr_impl != "materialized":
+        overrides["corr_impl"] = args.corr_impl
     model, spec = make_model(args.net, **overrides)
     d = spec.pad_divisor
     H = ((H + d - 1) // d) * d
