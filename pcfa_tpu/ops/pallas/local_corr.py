@@ -114,6 +114,10 @@ _BWD_SLAB_BUDGET = 8 * 2**20
 _INTERPRET = False
 
 
+def _round_up_128(x: int) -> int:
+    return ((x + 127) // 128) * 128
+
+
 def _dgrad1_kernel(g_ref, f2p_ref, out_ref, scratch, sem, *, patch: int,
                    stride: int, TH: int, WB: int, R: int, inv_c: float):
     """df1[y,x,c] = inv_c · Σ_p g[y,x,p] · f2p[y+dy_p, x+dx_p, c].
@@ -182,15 +186,16 @@ def _dgrad2_kernel(gp_ref, f1p_ref, out_ref, sg, sf, semg, semf, *,
     out_ref[0] = (acc * inv_c).astype(out_ref.dtype)
 
 
-def _bwd_plan(H: int, W: int, C: int, P: int, R: int, dtype_bytes: int):
+def _bwd_plan(H: int, W: int, Cp: int, Pp: int, R: int, dtype_bytes: int):
     """(TH, WB) for the backward kernels, or None → XLA fallback.
 
-    The df2 slab pair (P-channel g halo + C-channel f1 halo) is the VMEM
-    limiter; widths are blocked in 8-multiples so the DMA extents stay
+    The df2 slab pair (g halo + f1 halo, lane dims already padded to 128 —
+    Mosaic requires manually-DMA'd lane extents to be 128-aligned) is the
+    VMEM limiter; widths are blocked in 8-multiples so the DMA extents stay
     sublane-aligned (2R is a multiple of 8 for both corr flavors)."""
     for TH in (8, 4, 2, 1):
         for WB in (512, 256, 128, 64, 32, 16, 8):
-            slab = (TH + 2 * R) * (WB + 2 * R) * (P + C) * dtype_bytes
+            slab = (TH + 2 * R) * (WB + 2 * R) * (Pp + Cp) * dtype_bytes
             if slab <= _BWD_SLAB_BUDGET:
                 return TH, WB
     return None
@@ -202,7 +207,10 @@ def _backward(fmap1, fmap2, g, patch, stride, interpret=False):
     P = patch * patch
     R = (patch - 1) // 2 * stride
     nbytes = fmap1.dtype.itemsize
-    plan = _bwd_plan(H, W, C, P, R, nbytes)
+    # manual DMA slabs need 128-aligned lane (channel) extents on TPU
+    Cp = _round_up_128(C)
+    Pp = _round_up_128(P)
+    plan = _bwd_plan(H, W, Cp, Pp, R, nbytes)
     if plan is None:
         return None
     TH, WB = plan
@@ -210,25 +218,28 @@ def _backward(fmap1, fmap2, g, patch, stride, interpret=False):
     Wp = -(-W // WB) * WB
     grid = (B, Hp // TH, Wp // WB)
 
-    f2p = jnp.pad(fmap2, ((0, 0), (R, R + Hp - H), (R, R + Wp - W), (0, 0)))
-    f1p = jnp.pad(fmap1, ((0, 0), (R, R + Hp - H), (R, R + Wp - W), (0, 0)))
+    f2p = jnp.pad(fmap2, ((0, 0), (R, R + Hp - H), (R, R + Wp - W),
+                          (0, Cp - C)))
+    f1p = jnp.pad(fmap1, ((0, 0), (R, R + Hp - H), (R, R + Wp - W),
+                          (0, Cp - C)))
     gpad = jnp.pad(g, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
-    gp = jnp.pad(g, ((0, 0), (R, R + Hp - H), (R, R + Wp - W), (0, 0)))
+    gp = jnp.pad(g, ((0, 0), (R, R + Hp - H), (R, R + Wp - W),
+                     (0, Pp - P)))
 
     df1 = pl.pallas_call(
         functools.partial(_dgrad1_kernel, patch=patch, stride=stride,
                           TH=TH, WB=WB, R=R, inv_c=1.0 / C),
-        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp, C), fmap1.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp, Cp), fmap1.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, TH, WB, P), lambda b, i, j: (b, i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
-        out_specs=pl.BlockSpec((1, TH, WB, C), lambda b, i, j: (b, i, j, 0),
+        out_specs=pl.BlockSpec((1, TH, WB, Cp), lambda b, i, j: (b, i, j, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((TH + 2 * R, WB + 2 * R, C), fmap2.dtype),
+            pltpu.VMEM((TH + 2 * R, WB + 2 * R, Cp), fmap2.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -237,24 +248,24 @@ def _backward(fmap1, fmap2, g, patch, stride, interpret=False):
     df2 = pl.pallas_call(
         functools.partial(_dgrad2_kernel, patch=patch, stride=stride,
                           TH=TH, WB=WB, R=R, inv_c=1.0 / C),
-        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp, C), fmap2.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp, Cp), fmap2.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
-        out_specs=pl.BlockSpec((1, TH, WB, C), lambda b, i, j: (b, i, j, 0),
+        out_specs=pl.BlockSpec((1, TH, WB, Cp), lambda b, i, j: (b, i, j, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((TH + 2 * R, WB + 2 * R, P), g.dtype),
-            pltpu.VMEM((TH + 2 * R, WB + 2 * R, C), fmap1.dtype),
+            pltpu.VMEM((TH + 2 * R, WB + 2 * R, Pp), g.dtype),
+            pltpu.VMEM((TH + 2 * R, WB + 2 * R, Cp), fmap1.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(gp, f1p)
 
-    return df1[:, :H, :W], df2[:, :H, :W]
+    return df1[:, :H, :W, :C], df2[:, :H, :W, :C]
 
 
 def _pick_tile_h(H: int, target: int = 8) -> int:
@@ -313,15 +324,20 @@ def _forward(fmap1, fmap2, patch, stride, interpret=False):
         )(fmap1, f2p)
 
     # streaming path: f2 stays in HBM, halo slabs DMA'd per tile; channels
-    # chunked (lane-aligned) so the slab fits VMEM
+    # chunked (lane-aligned) so the slab fits VMEM. Manual DMAs need
+    # 128-aligned lane extents → pad C up (zero channels add 0 to the dot).
     tile_h = 8
     Hp = ((H + tile_h - 1) // tile_h) * tile_h
     # DMA slices need 8-aligned sublane (width) extents: pad W+2R up to 8
     W2 = W + 2 * R
     W2p = ((W2 + 7) // 8) * 8
-    f1p = jnp.pad(fmap1, ((0, 0), (0, Hp - H), (0, 0), (0, 0)))
+    inv_c = 1.0 / C  # normalize by the REAL channel count, not the padded
+    C128 = ((C + 127) // 128) * 128
+    f1p = jnp.pad(fmap1, ((0, 0), (0, Hp - H), (0, 0), (0, C128 - C)))
     f2p = jnp.pad(fmap2,
-                  ((0, 0), (R, R + Hp - H), (R, W2p - W2 + R), (0, 0)))
+                  ((0, 0), (R, R + Hp - H), (R, W2p - W2 + R),
+                   (0, C128 - C)))
+    C = C128
 
     c_chunks = 1
     for n in _valid_c_chunks(C):
@@ -336,7 +352,7 @@ def _forward(fmap1, fmap2, patch, stride, interpret=False):
     out = pl.pallas_call(
         functools.partial(
             _kernel_dma, patch=patch, stride=stride, tile_h=tile_h,
-            inv_c=1.0 / C, R=R, Cc=Cc, c_chunks=c_chunks,
+            inv_c=inv_c, R=R, Cc=Cc, c_chunks=c_chunks,
         ),
         out_shape=jax.ShapeDtypeStruct((B, Hp, W, patch * patch),
                                        fmap1.dtype),
