@@ -141,9 +141,16 @@ def _kernel(slab_ref, what_ref, bias_ref, out_ref, *, k: int,
                 rows * G, WL)
             for a in range((k - q + stride - 1) // stride):
                 dx = stride * a + q
+                # bf16 operands must pin DEFAULT precision: a global
+                # jax_default_matmul_precision=highest (the CLI default)
+                # reaches into the kernel and Mosaic rejects
+                # HIGHEST-on-bf16 dots ("Bad lhs type")
+                prec = (jax.lax.Precision.DEFAULT
+                        if s2.dtype == jnp.bfloat16 else None)
                 acc = acc + jnp.dot(
                     what_ref[g, dx],
                     s2[:, a:a + WBLK],
+                    precision=prec,
                     preferred_element_type=jnp.float32,
                 )
     acc = acc + bias_ref[:]
@@ -278,12 +285,14 @@ def _bwd(act, stride, res, g):
         # dx: stride-1 SAME conv-transpose identity — same kernel, weights
         # spatially flipped and channel-transposed
         dx = _forward(g, kernel_t, zeros, None)
-    else:
+    elif g.dtype == jnp.bfloat16:
         # strided conv transpose = zero-dilate g (interior padding s−1)
         # back to the input grid, then the SAME stride-1 transpose above.
         # s²× redundant MACs over the zeros, but they run on this kernel's
         # full-MXU tiles — still far ahead of XLA's lane-padded transpose
-        # at these channel counts.
+        # at these channel counts. bf16 only: at fp32 XLA may place the
+        # small dx output in scoped VMEM and double-buffer past the 16 MB
+        # AOT limit (measured: RAFT stem dx f32[2,376,3,1280] → 22.14M).
         B, Ho, Co, Wo = g.shape
         H, W = x.shape[1], x.shape[3]
         s = stride
@@ -295,6 +304,16 @@ def _bwd(act, stride, res, g):
              (0, W - (s * (Wo - 1) + 1), s - 1)),
         )
         dx = _forward(g_dil, kernel_t, zeros, None)
+    else:
+        # fp32 strided transpose via XLA (see above)
+        _, vjp = jax.vjp(
+            lambda a: jax.lax.conv_general_dilated(
+                a, kernel, window_strides=(stride, stride),
+                padding=((p, p), (p, p)),
+                dimension_numbers=("NHCW", "HWIO", "NHCW"),
+            ), x,
+        )
+        (dx,) = vjp(g)
     # dW[dy, dx, c, o] = Σ_{b,y,w} xpad[b, s·y+dy, c, s·w+dx] · g[b, y, o, w]
     B, H, _, W = x.shape
     xp = jnp.pad(x, ((0, 0), (p, p), (0, 0), (p, p)))

@@ -30,6 +30,9 @@ def main():
     args = ap.parse_args()
     H, W = (int(v) for v in args.size.split("x"))
 
+    if args.dtype == "bf16":
+        os.environ.setdefault("PCFA_MATMUL_PRECISION", "default")
+
     import jax
     import jax.numpy as jnp
 
