@@ -118,14 +118,18 @@ def _round_up_128(x: int) -> int:
     return ((x + 127) // 128) * 128
 
 
-def _dgrad1_kernel(g_ref, f2p_ref, out_ref, scratch, sem, *, patch: int,
-                   stride: int, TH: int, WB: int, R: int, inv_c: float):
+def _dgrad1_kernel(g_ref, f2p_ref, out_ref, scratch, acc_ref, sem, *,
+                   patch: int, stride: int, TH: int, WB: int, R: int,
+                   inv_c: float):
     """df1[y,x,c] = inv_c · Σ_p g[y,x,p] · f2p[y+dy_p, x+dx_p, c].
 
     Same shifted-product structure as the forward (the reference hand-writes
     exactly this kernel, `correlation.cpp:126-150`), with the channel reduce
     replaced by a per-shift broadcast FMA over C. g rides in as a VMEM
-    block; the padded f2 halo slab is DMA'd from HBM per grid step."""
+    block; the padded f2 halo slab is DMA'd from HBM per grid step. The
+    patch² accumulation goes through a VMEM scratch ref — a register
+    accumulation chain lets the scheduler keep dozens of (TH, WB, C) temps
+    alive and blows the scoped-vmem stack (measured 72 MB at patch 9)."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -137,19 +141,21 @@ def _dgrad1_kernel(g_ref, f2p_ref, out_ref, scratch, sem, *, patch: int,
     cp.start()
     cp.wait()
     g = g_ref[0]  # (TH, WB, patch²)
-    acc = jnp.zeros(out_ref.shape[1:], jnp.float32)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
     for iy in range(patch):
         dy = iy * stride
         for ix in range(patch):
             dx = ix * stride
             ch = iy * patch + ix
             rows = scratch[pl.ds(dy, TH), pl.ds(dx, WB), :]
-            acc += g[:, :, ch : ch + 1].astype(jnp.float32) * rows.astype(
-                jnp.float32)
-    out_ref[0] = (acc * inv_c).astype(out_ref.dtype)
+            acc_ref[...] += (
+                g[:, :, ch : ch + 1].astype(jnp.float32)
+                * rows.astype(jnp.float32)
+            )
+    out_ref[0] = (acc_ref[...] * inv_c).astype(out_ref.dtype)
 
 
-def _dgrad2_kernel(gp_ref, f1p_ref, out_ref, sg, sf, semg, semf, *,
+def _dgrad2_kernel(gp_ref, f1p_ref, out_ref, sg, sf, acc_ref, semg, semf, *,
                    patch: int, stride: int, TH: int, WB: int, R: int,
                    inv_c: float):
     """df2[y,x,c] = inv_c · Σ_p g[y−δy_p, x−δx_p, p] · f1[y−δy_p, x−δx_p, c]
@@ -174,7 +180,7 @@ def _dgrad2_kernel(gp_ref, f1p_ref, out_ref, sg, sf, semg, semf, *,
     cpf.start()
     cpg.wait()
     cpf.wait()
-    acc = jnp.zeros(out_ref.shape[1:], jnp.float32)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
     for iy in range(patch):
         sy = 2 * R - iy * stride
         for ix in range(patch):
@@ -182,8 +188,8 @@ def _dgrad2_kernel(gp_ref, f1p_ref, out_ref, sg, sf, semg, semf, *,
             ch = iy * patch + ix
             gw = sg[sy : sy + TH, sx : sx + WB, ch : ch + 1]
             fw = sf[sy : sy + TH, sx : sx + WB, :]
-            acc += gw.astype(jnp.float32) * fw.astype(jnp.float32)
-    out_ref[0] = (acc * inv_c).astype(out_ref.dtype)
+            acc_ref[...] += gw.astype(jnp.float32) * fw.astype(jnp.float32)
+    out_ref[0] = (acc_ref[...] * inv_c).astype(out_ref.dtype)
 
 
 def _bwd_plan(H: int, W: int, Cp: int, Pp: int, R: int, dtype_bytes: int):
@@ -193,8 +199,10 @@ def _bwd_plan(H: int, W: int, Cp: int, Pp: int, R: int, dtype_bytes: int):
     Mosaic requires manually-DMA'd lane extents to be 128-aligned) is the
     VMEM limiter; widths are blocked in 8-multiples so the DMA extents stay
     sublane-aligned (2R is a multiple of 8 for both corr flavors)."""
+    # WB capped at 256: bounds every per-shift (TH, WB, Cp) temp the
+    # scheduler might keep live (scoped-vmem stack), at ≤3% halo overhead
     for TH in (8, 4, 2, 1):
-        for WB in (512, 256, 128, 64, 32, 16, 8):
+        for WB in (256, 128, 64, 32, 16, 8):
             slab = (TH + 2 * R) * (WB + 2 * R) * (Pp + Cp) * dtype_bytes
             if slab <= _BWD_SLAB_BUDGET:
                 return TH, WB
@@ -240,6 +248,7 @@ def _backward(fmap1, fmap2, g, patch, stride, interpret=False):
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((TH + 2 * R, WB + 2 * R, Cp), fmap2.dtype),
+            pltpu.VMEM((TH, WB, Cp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -259,6 +268,7 @@ def _backward(fmap1, fmap2, g, patch, stride, interpret=False):
         scratch_shapes=[
             pltpu.VMEM((TH + 2 * R, WB + 2 * R, Pp), g.dtype),
             pltpu.VMEM((TH + 2 * R, WB + 2 * R, Cp), fmap1.dtype),
+            pltpu.VMEM((TH, WB, Cp), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
