@@ -20,10 +20,12 @@ block.
 Forward kernels + `jax.custom_vjp` with Pallas BACKWARD kernels: df1 is the
 same shifted-product structure as the forward (per-shift broadcast FMA over
 channels instead of a channel reduce) and df2 is its adjoint, both W-blocked
-with DMA'd halo slabs — one HBM pass each instead of the XLA shift-and-sum
-VJP's up-to-patch² passes (the reference hand-writes exactly these backward
-kernels: `correlation.cpp:126-178`, `correlation_cuda_kernel.cu`). Sizes
-whose slabs exceed VMEM fall back to the XLA formulation.
+over pre-gathered halo-slab VMEM blocks — one (slab-amplified) HBM pass each
+instead of the XLA shift-and-sum VJP's up-to-patch² passes (the reference
+hand-writes exactly these backward kernels: `correlation.cpp:126-178`,
+`correlation_cuda_kernel.cu`). Each gradient independently falls back to the
+XLA formulation when its slab set exceeds VMEM (the 441-lane global-corr g
+slab does).
 """
 
 from __future__ import annotations
@@ -114,40 +116,27 @@ _BWD_SLAB_BUDGET = 8 * 2**20
 _INTERPRET = False
 
 
-def _round_up_128(x: int) -> int:
-    return ((x + 127) // 128) * 128
-
-
-def _dgrad1_kernel(g_ref, f2p_ref, out_ref, scratch, acc_ref, sem, *,
-                   patch: int, stride: int, TH: int, WB: int, R: int,
-                   inv_c: float):
+def _dgrad1_kernel(g_ref, slab_ref, out_ref, acc_ref, *, patch: int,
+                   stride: int, TH: int, WB: int, R: int, inv_c: float):
     """df1[y,x,c] = inv_c · Σ_p g[y,x,p] · f2p[y+dy_p, x+dx_p, c].
 
     Same shifted-product structure as the forward (the reference hand-writes
     exactly this kernel, `correlation.cpp:126-150`), with the channel reduce
-    replaced by a per-shift broadcast FMA over C. g rides in as a VMEM
-    block; the padded f2 halo slab is DMA'd from HBM per grid step. The
-    patch² accumulation goes through a VMEM scratch ref — a register
-    accumulation chain lets the scheduler keep dozens of (TH, WB, C) temps
-    alive and blows the scoped-vmem stack (measured 72 MB at patch 9)."""
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    j = pl.program_id(2)
-    cp = pltpu.make_async_copy(
-        f2p_ref.at[b, pl.ds(i * TH, TH + 2 * R),
-                   pl.ds(j * WB, WB + 2 * R), :],
-        scratch, sem,
-    )
-    cp.start()
-    cp.wait()
+    replaced by a per-shift broadcast FMA over C. The f2 halo slab arrives
+    pre-gathered as an ordinary VMEM block (the pattern `small_conv.py`
+    uses): raw-HBM-ref + manual-DMA kernels make the chipless-AOT compiler
+    scope-allocate every operand in VMEM and blow its 16 MB stack limit
+    (measured 72 MB at patch 9). Accumulation goes through a VMEM scratch
+    ref so the scheduler cannot keep patch² temporaries alive."""
     g = g_ref[0]  # (TH, WB, patch²)
+    slab = slab_ref[0, 0, 0]  # (TH + 2R, WB + 2R, C)
     acc_ref[...] = jnp.zeros_like(acc_ref)
     for iy in range(patch):
         dy = iy * stride
         for ix in range(patch):
             dx = ix * stride
             ch = iy * patch + ix
-            rows = scratch[pl.ds(dy, TH), pl.ds(dx, WB), :]
+            rows = slab[dy : dy + TH, dx : dx + WB, :]
             acc_ref[...] += (
                 g[:, :, ch : ch + 1].astype(jnp.float32)
                 * rows.astype(jnp.float32)
@@ -155,127 +144,127 @@ def _dgrad1_kernel(g_ref, f2p_ref, out_ref, scratch, acc_ref, sem, *,
     out_ref[0] = (acc_ref[...] * inv_c).astype(out_ref.dtype)
 
 
-def _dgrad2_kernel(gp_ref, f1p_ref, out_ref, sg, sf, acc_ref, semg, semf, *,
-                   patch: int, stride: int, TH: int, WB: int, R: int,
-                   inv_c: float):
+def _dgrad2_kernel(gslab_ref, fslab_ref, out_ref, acc_ref, *, patch: int,
+                   stride: int, TH: int, WB: int, R: int, inv_c: float):
     """df2[y,x,c] = inv_c · Σ_p g[y−δy_p, x−δx_p, p] · f1[y−δy_p, x−δx_p, c]
     (δ = shift − R): the adjoint of the forward's shifted products
     (reference `correlation.cpp:152-178`). With g and f1 zero-padded by R,
     the read window for an output row tile is rows [y₀, y₀+TH+2R) — the
-    same halo-slab geometry as df1, DMA'd for both operands."""
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    j = pl.program_id(2)
-    cpg = pltpu.make_async_copy(
-        gp_ref.at[b, pl.ds(i * TH, TH + 2 * R),
-                  pl.ds(j * WB, WB + 2 * R), :],
-        sg, semg,
-    )
-    cpf = pltpu.make_async_copy(
-        f1p_ref.at[b, pl.ds(i * TH, TH + 2 * R),
-                   pl.ds(j * WB, WB + 2 * R), :],
-        sf, semf,
-    )
-    cpg.start()
-    cpf.start()
-    cpg.wait()
-    cpf.wait()
+    same halo-slab geometry as df1, both slabs pre-gathered as VMEM
+    blocks."""
+    gs = gslab_ref[0, 0, 0]  # (TH + 2R, WB + 2R, patch²)
+    fs = fslab_ref[0, 0, 0]  # (TH + 2R, WB + 2R, C)
     acc_ref[...] = jnp.zeros_like(acc_ref)
     for iy in range(patch):
         sy = 2 * R - iy * stride
         for ix in range(patch):
             sx = 2 * R - ix * stride
             ch = iy * patch + ix
-            gw = sg[sy : sy + TH, sx : sx + WB, ch : ch + 1]
-            fw = sf[sy : sy + TH, sx : sx + WB, :]
+            gw = gs[sy : sy + TH, sx : sx + WB, ch : ch + 1]
+            fw = fs[sy : sy + TH, sx : sx + WB, :]
             acc_ref[...] += gw.astype(jnp.float32) * fw.astype(jnp.float32)
     out_ref[0] = (acc_ref[...] * inv_c).astype(out_ref.dtype)
 
 
-def _bwd_plan(H: int, W: int, Cp: int, Pp: int, R: int, dtype_bytes: int):
-    """(TH, WB) for the backward kernels, or None → XLA fallback.
-
-    The df2 slab pair (g halo + f1 halo, lane dims already padded to 128 —
-    Mosaic requires manually-DMA'd lane extents to be 128-aligned) is the
-    VMEM limiter; widths are blocked in 8-multiples so the DMA extents stay
-    sublane-aligned (2R is a multiple of 8 for both corr flavors)."""
-    # WB capped at 256: bounds every per-shift (TH, WB, Cp) temp the
-    # scheduler might keep live (scoped-vmem stack), at ≤3% halo overhead
+def _bwd_plan(lane_sum: int, R: int, dtype_bytes: int):
+    """(TH, WB) such that one slab set (lane_sum channels of halo slabs,
+    double-buffered by the pipeline) fits the VMEM budget, or None → XLA
+    fallback. WB capped at 256 to bound per-shift temporaries."""
     for TH in (8, 4, 2, 1):
         for WB in (256, 128, 64, 32, 16, 8):
-            slab = (TH + 2 * R) * (WB + 2 * R) * (Pp + Cp) * dtype_bytes
+            slab = 2 * (TH + 2 * R) * (WB + 2 * R) * lane_sum * dtype_bytes
             if slab <= _BWD_SLAB_BUDGET:
                 return TH, WB
     return None
 
 
+def _gather_slabs(arr, n_h: int, n_w: int, TH: int, WB: int, R: int):
+    """(B, Hp+2R, Wp+2R, C) → (B, n_h, n_w, TH+2R, WB+2R, C): each grid
+    step's halo'd window as an ordinary block (rows/cols overlap by 2R)."""
+    return jnp.stack([
+        jnp.stack([
+            arr[:, i * TH : i * TH + TH + 2 * R,
+                j * WB : j * WB + WB + 2 * R, :]
+            for j in range(n_w)
+        ], axis=1)
+        for i in range(n_h)
+    ], axis=1)
+
+
 def _backward(fmap1, fmap2, g, patch, stride, interpret=False):
-    """Pallas backward: (df1, df2) for `out = corr(f1, f2)` cotangent g."""
+    """Pallas backward for `out = corr(f1, f2)` cotangent g.
+
+    Returns (df1, df2); either may be None when its slab set exceeds VMEM
+    (e.g. the 441-channel global-corr g slab) — the caller falls back to
+    the XLA formulation for that operand only."""
     B, H, W, C = fmap1.shape
     P = patch * patch
     R = (patch - 1) // 2 * stride
     nbytes = fmap1.dtype.itemsize
-    # manual DMA slabs need 128-aligned lane (channel) extents on TPU
-    Cp = _round_up_128(C)
-    Pp = _round_up_128(P)
-    plan = _bwd_plan(H, W, Cp, Pp, R, nbytes)
-    if plan is None:
-        return None
-    TH, WB = plan
-    Hp = -(-H // TH) * TH
-    Wp = -(-W // WB) * WB
-    grid = (B, Hp // TH, Wp // WB)
 
-    f2p = jnp.pad(fmap2, ((0, 0), (R, R + Hp - H), (R, R + Wp - W),
-                          (0, Cp - C)))
-    f1p = jnp.pad(fmap1, ((0, 0), (R, R + Hp - H), (R, R + Wp - W),
-                          (0, Cp - C)))
-    gpad = jnp.pad(g, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
-    gp = jnp.pad(g, ((0, 0), (R, R + Hp - H), (R, R + Wp - W),
-                     (0, Pp - P)))
+    plan1 = _bwd_plan(C, R, nbytes)          # df1: f2 slab (+ g block)
+    plan2 = _bwd_plan(P + C, R, nbytes)      # df2: g slab + f1 slab
+    df1 = df2 = None
 
-    df1 = pl.pallas_call(
-        functools.partial(_dgrad1_kernel, patch=patch, stride=stride,
-                          TH=TH, WB=WB, R=R, inv_c=1.0 / C),
-        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp, Cp), fmap1.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, TH, WB, P), lambda b, i, j: (b, i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-        ],
-        out_specs=pl.BlockSpec((1, TH, WB, Cp), lambda b, i, j: (b, i, j, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((TH + 2 * R, WB + 2 * R, Cp), fmap2.dtype),
-            pltpu.VMEM((TH, WB, Cp), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )(gpad, f2p)
+    if plan1 is not None:
+        TH, WB = plan1
+        Hp = -(-H // TH) * TH
+        Wp = -(-W // WB) * WB
+        n_h, n_w = Hp // TH, Wp // WB
+        f2p = jnp.pad(fmap2, ((0, 0), (R, R + Hp - H), (R, R + Wp - W),
+                              (0, 0)))
+        gpad = jnp.pad(g, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+        slabs = _gather_slabs(f2p, n_h, n_w, TH, WB, R)
+        df1 = pl.pallas_call(
+            functools.partial(_dgrad1_kernel, patch=patch, stride=stride,
+                              TH=TH, WB=WB, R=R, inv_c=1.0 / C),
+            out_shape=jax.ShapeDtypeStruct((B, Hp, Wp, C), fmap1.dtype),
+            grid=(B, n_h, n_w),
+            in_specs=[
+                pl.BlockSpec((1, TH, WB, P), lambda b, i, j: (b, i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, TH + 2 * R, WB + 2 * R, C),
+                             lambda b, i, j: (b, i, j, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, TH, WB, C),
+                                   lambda b, i, j: (b, i, j, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((TH, WB, C), jnp.float32)],
+            interpret=interpret,
+        )(gpad, slabs)[:, :H, :W]
 
-    df2 = pl.pallas_call(
-        functools.partial(_dgrad2_kernel, patch=patch, stride=stride,
-                          TH=TH, WB=WB, R=R, inv_c=1.0 / C),
-        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp, Cp), fmap2.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-        ],
-        out_specs=pl.BlockSpec((1, TH, WB, Cp), lambda b, i, j: (b, i, j, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((TH + 2 * R, WB + 2 * R, Pp), g.dtype),
-            pltpu.VMEM((TH + 2 * R, WB + 2 * R, Cp), fmap1.dtype),
-            pltpu.VMEM((TH, WB, Cp), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )(gp, f1p)
+    if plan2 is not None:
+        TH, WB = plan2
+        Hp = -(-H // TH) * TH
+        Wp = -(-W // WB) * WB
+        n_h, n_w = Hp // TH, Wp // WB
+        f1p = jnp.pad(fmap1, ((0, 0), (R, R + Hp - H), (R, R + Wp - W),
+                              (0, 0)))
+        gp = jnp.pad(g, ((0, 0), (R, R + Hp - H), (R, R + Wp - W), (0, 0)))
+        gslabs = _gather_slabs(gp, n_h, n_w, TH, WB, R)
+        fslabs = _gather_slabs(f1p, n_h, n_w, TH, WB, R)
+        df2 = pl.pallas_call(
+            functools.partial(_dgrad2_kernel, patch=patch, stride=stride,
+                              TH=TH, WB=WB, R=R, inv_c=1.0 / C),
+            out_shape=jax.ShapeDtypeStruct((B, Hp, Wp, C), fmap2.dtype),
+            grid=(B, n_h, n_w),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, TH + 2 * R, WB + 2 * R, P),
+                             lambda b, i, j: (b, i, j, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, TH + 2 * R, WB + 2 * R, C),
+                             lambda b, i, j: (b, i, j, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, TH, WB, C),
+                                   lambda b, i, j: (b, i, j, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((TH, WB, C), jnp.float32)],
+            interpret=interpret,
+        )(gslabs, fslabs)[:, :H, :W]
 
-    return df1[:, :H, :W, :C], df2[:, :H, :W, :C]
+    return df1, df2
 
 
 def _pick_tile_h(H: int, target: int = 8) -> int:
@@ -404,14 +393,17 @@ def _local_fwd(fmap1, fmap2, patch_size):
 
 def _local_bwd(patch_size, res, g):
     fmap1, fmap2 = res
-    out = _backward(fmap1, fmap2, g, patch_size, 1,
-                    interpret=_INTERPRET)
-    if out is not None:
-        return out
-    _, vjp = jax.vjp(
-        lambda a, b: _xla_local_correlation(a, b, patch_size), fmap1, fmap2
-    )
-    return vjp(g)
+    df1, df2 = _backward(fmap1, fmap2, g, patch_size, 1,
+                         interpret=_INTERPRET)
+    if df1 is None:
+        df1 = jax.vjp(
+            lambda a: _xla_local_correlation(a, fmap2, patch_size), fmap1
+        )[1](g)[0]
+    if df2 is None:
+        df2 = jax.vjp(
+            lambda b: _xla_local_correlation(fmap1, b, patch_size), fmap2
+        )[1](g)[0]
+    return df1, df2
 
 
 local_correlation_pallas.defvjp(_local_fwd, _local_bwd)
@@ -436,15 +428,19 @@ def _global_fwd(fmap1, fmap2, max_displacement, stride2):
 def _global_bwd(max_displacement, stride2, res, g):
     fmap1, fmap2 = res
     patch = 2 * (max_displacement // stride2) + 1
-    out = _backward(fmap1, fmap2, g, patch, stride2,
-                    interpret=_INTERPRET)
-    if out is not None:
-        return out
-    _, vjp = jax.vjp(
-        lambda a, b: _xla_global_correlation(a, b, max_displacement, stride2),
-        fmap1, fmap2,
-    )
-    return vjp(g)
+    df1, df2 = _backward(fmap1, fmap2, g, patch, stride2,
+                         interpret=_INTERPRET)
+    if df1 is None:
+        df1 = jax.vjp(
+            lambda a: _xla_global_correlation(a, fmap2, max_displacement,
+                                              stride2), fmap1
+        )[1](g)[0]
+    if df2 is None:
+        df2 = jax.vjp(
+            lambda b: _xla_global_correlation(fmap1, b, max_displacement,
+                                              stride2), fmap2
+        )[1](g)[0]
+    return df1, df2
 
 
 global_correlation_pallas.defvjp(_global_fwd, _global_bwd)
