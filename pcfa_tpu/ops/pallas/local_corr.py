@@ -166,12 +166,17 @@ def _dgrad2_kernel(gslab_ref, fslab_ref, out_ref, acc_ref, *, patch: int,
     out_ref[0] = (acc_ref[...] * inv_c).astype(out_ref.dtype)
 
 
-def _bwd_plan(lane_sum: int, R: int, dtype_bytes: int):
+def _bwd_plan(W: int, lane_sum: int, R: int, dtype_bytes: int):
     """(TH, WB) such that one slab set (lane_sum channels of halo slabs,
     double-buffered by the pipeline) fits the VMEM budget, or None → XLA
-    fallback. WB capped at 256 to bound per-shift temporaries."""
+    fallback. WB capped at 256 to bound per-shift temporaries; the first
+    candidate is the exact (8-rounded) map width so narrow maps aren't
+    over-padded to a full block."""
+    w8 = -(-W // 8) * 8
+    cands = [w8] if w8 <= 256 else []
+    cands += [c for c in (256, 128, 64, 32, 16, 8) if c < w8]
     for TH in (8, 4, 2, 1):
-        for WB in (256, 128, 64, 32, 16, 8):
+        for WB in cands:
             slab = 2 * (TH + 2 * R) * (WB + 2 * R) * lane_sum * dtype_bytes
             if slab <= _BWD_SLAB_BUDGET:
                 return TH, WB
@@ -202,8 +207,12 @@ def _backward(fmap1, fmap2, g, patch, stride, interpret=False):
     R = (patch - 1) // 2 * stride
     nbytes = fmap1.dtype.itemsize
 
-    plan1 = _bwd_plan(C, R, nbytes)          # df1: f2 slab (+ g block)
-    plan2 = _bwd_plan(P + C, R, nbytes)      # df2: g slab + f1 slab
+    if H * W < 1024:
+        # tiny maps: XLA's shift-and-sum is fine and the extra pallas
+        # calls only add to the program's scoped-vmem pressure
+        return None, None
+    plan1 = _bwd_plan(W, C, R, nbytes)       # df1: f2 slab (+ g block)
+    plan2 = _bwd_plan(W, P + C, R, nbytes)   # df2: g slab + f1 slab
     df1 = df2 = None
 
     if plan1 is not None:

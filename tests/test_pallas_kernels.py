@@ -56,7 +56,7 @@ def test_corr_pallas_backward_kernels(rng):
     from pcfa_tpu.ops.correlation import global_correlation
     from pcfa_tpu.ops.pallas.local_corr import _backward
 
-    B, H, W, C = 2, 12, 20, 16
+    B, H, W, C = 2, 32, 40, 16  # H·W above the tiny-map XLA floor
     f1 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
     f2 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
 
