@@ -374,23 +374,35 @@ def attack_l2_universal(args) -> dict:
                         print("Resumed universal delta from %s"
                               % args.resume_from)
                     n_dev = len(jax.devices())
-                    if (n_dev > 1 and args.batch_size % n_dev == 0
-                            and args.loss in ('aee', 'mse')):
+                    n_proc = jax.process_count()
+                    n_local = len(jax.local_devices())
+                    if (n_dev > 1 and args.batch_size % n_local == 0):
                         # batch-shard over the device mesh; δ-grad psum over
-                        # ICI (pcfa_tpu/parallel/dp.py)
+                        # ICI (and DCN across hosts — the loader already
+                        # yields this host's dataset slice, so the global
+                        # batch is batch_size × process_count)
                         from pcfa_tpu.parallel import (
                             data_mesh,
                             universal_batch_attack_dp,
                         )
 
-                        mesh = data_mesh()
+                        if n_proc > 1:
+                            from pcfa_tpu.parallel.multihost import (
+                                global_batch,
+                                global_data_mesh,
+                            )
+
+                            mesh = global_data_mesh()
+                        else:
+                            mesh, global_batch = data_mesh(), None
                         print(f"Sharding universal training over {n_dev} "
-                              "devices (axis 'data')")
+                              f"devices / {n_proc} host(s) (axis 'data')")
                         step_jit = functools.partial(
                             universal_batch_attack_dp, flow_fn_p,
                             config=cfg, mesh=mesh, params=loaded.params,
                         )
                     else:
+                        global_batch = None
                         _ustep = jax.jit(
                             lambda prm, a, b, t, o: universal_batch_attack(
                                 functools.partial(flow_fn_p, prm),
@@ -421,9 +433,22 @@ def attack_l2_universal(args) -> dict:
                      common.epe(flow_pred_init, flow_gt) if has_gt else None),
                 )
 
-                opt_state, metrics, _, flow_pred = step_jit(
-                    p1, p2, target, opt_state
-                )
+                if global_batch is not None:
+                    # multi-host: assemble this host's batch into globally
+                    # sharded arrays; δ/metrics come back replicated, the
+                    # flow shards are gathered host-locally for artifacts
+                    p1_g, p2_g, target_g = global_batch(mesh, p1, p2, target)
+                    opt_state, metrics, _, flow_pred = step_jit(
+                        p1_g, p2_g, target_g, opt_state
+                    )
+                    shards = sorted(flow_pred.addressable_shards,
+                                    key=lambda s: s.index[0].start or 0)
+                    flow_pred = jnp.asarray(np.concatenate(
+                        [np.asarray(s.data) for s in shards]))
+                else:
+                    opt_state, metrics, _, flow_pred = step_jit(
+                        p1, p2, target, opt_state
+                    )
                 epoch_ran = True
                 m = jax.device_get(metrics)
                 for s in range(args.steps):

@@ -15,6 +15,12 @@ from pcfa_tpu.runtime import LoadedModel, load_model, make_flow_fn
 
 
 def setup_runtime():
+    # join the multi-process cluster BEFORE anything initializes the XLA
+    # backend (a no-op unless a coordinator is configured — see
+    # `parallel/multihost.py`)
+    from pcfa_tpu.parallel.multihost import initialize
+
+    initialize()
     RuntimeConfig().apply()
 
 
@@ -45,6 +51,9 @@ def make_loader(args, batch_size=1, shuffle=False):
         batch_size=batch_size,
         small_run=args.small_run,
         dstype=args.dstype,
+        # restrict each host to its dataset slice under multi-host
+        # execution (a no-op in single-process runs)
+        process_shard=True,
     )
 
 

@@ -48,11 +48,16 @@ def initialize(
 
     if _dist.global_state.client is not None:
         return  # already initialized
-    has_cfg = (coordinator_address
-               or os.environ.get("JAX_COORDINATOR_ADDRESS")
-               or os.environ.get("COORDINATOR_ADDRESS")
-               or os.environ.get("TPU_WORKER_HOSTNAMES"))
-    if not has_cfg:
+    coordinator_address = (coordinator_address
+                           or os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    # NOTE: deliberately no TPU_WORKER_HOSTNAMES auto-trigger — tunneled
+    # single-chip environments carry stale pod env vars; multi-host runs
+    # must set JAX_COORDINATOR_ADDRESS (or call with explicit args)
+    if not coordinator_address:
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

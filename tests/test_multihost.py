@@ -89,3 +89,49 @@ def test_two_process_universal_matches_serial(tmp_path):
                                rtol=1e-3, atol=2e-5)
     np.testing.assert_allclose(res["loss"], np.asarray(metrics.loss),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_two_process_universal_cli(tmp_path):
+    """The universal CLI end-to-end on a 2-process cluster: each host loads
+    its dataset slice, the engine trains ONE global δ over the cross-host
+    mesh, and both hosts write identical δ artifacts."""
+    import glob
+
+    port = _free_port()
+    outs = []
+    procs = []
+    for p in range(2):
+        env = {k: v for k, v in os.environ.items()
+               if not k.startswith(("JAX_", "XLA_"))}
+        env.update({
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+            "PCFA_CPU": "1",
+            "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(p),
+            "PCFA_SYNTHETIC_COUNT": "4",
+            "PCFA_SYNTHETIC_SIZE": "64x64",
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "attack_PCFA.py", "--net=SpyNet",
+             "--dataset=Synthetic", "--dataset_stage=training",
+             "--steps=1", "--epochs=1", "--batch_size=2",
+             "--universal_perturbation", "--unregistered_artifacts",
+             "--boxconstraint=clipping",
+             f"--output_folder={tmp_path}/host{p}"],
+            env=env, cwd=os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        ))
+    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"CLI worker failed:\n{out[-3000:]}"
+    assert any("2 host(s)" in o for o in outs)
+
+    deltas = []
+    for p in range(2):
+        files = glob.glob(str(tmp_path / f"host{p}" / "**" / "*delta1_e0.npy"),
+                          recursive=True)
+        assert files, f"host {p} wrote no δ artifact"
+        deltas.append(np.load(files[0]))
+    np.testing.assert_array_equal(deltas[0], deltas[1])
