@@ -211,6 +211,12 @@ def _backward(fmap1, fmap2, g, patch, stride, interpret=False):
         # tiny maps: XLA's shift-and-sum is fine and the extra pallas
         # calls only add to the program's scoped-vmem pressure
         return None, None
+    if P > 128:
+        # the kernels unroll all patch² shifts; at FlowNetC's patch 21
+        # (441 shifts) Mosaic's register allocator spills ~200 MB of
+        # scoped VMEM and the AOT compile dies. XLA's shift-and-sum VJP
+        # is acceptable there (one fused VPU pass over small /8 maps).
+        return None, None
     plan1 = _bwd_plan(W, C, R, nbytes)       # df1: f2 slab (+ g block)
     plan2 = _bwd_plan(W, P + C, R, nbytes)   # df2: g slab + f1 slab
     df1 = df2 = None
