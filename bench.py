@@ -142,7 +142,8 @@ def main():
                     "0 = auto: 2 for the RAFT family (measured optimum "
                     "under bf16 — 142x vs 127x at batch 1; batch 4 exceeds "
                     "HBM: fp32 L-BFGS state is 2.25 GB/pair), else 1.")
-    ap.add_argument("--remat", choices=["auto", "on", "off"], default="auto",
+    ap.add_argument("--remat", choices=["auto", "on", "off", "policy"],
+                    default="auto",
                     help="rematerialize refinement iterations (auto: on for "
                     "--batch>1 at fp32; bf16 activations may fit without)")
     ap.add_argument("--chunk", type=int, default=0,
@@ -214,10 +215,14 @@ def main():
     print(f"# batch={args.batch} remat={args.remat} "
           f"corr={args.corr_impl}", file=sys.stderr)
     if args.net in ("RAFT", "GMA", "RAFT-small"):
-        if args.remat == "on" or (args.remat == "auto" and args.batch > 1):
+        if args.remat in ("on", "policy") or (
+                args.remat == "auto" and args.batch > 1):
             # batched pairs: trade recompute for activation memory (without
             # remat, batch 2 exceeds HBM even at bf16 — measured 19.3 GB)
             overrides["remat"] = True
+        if args.remat == "policy":
+            # keep matmul/conv outputs resident, recompute only elementwise
+            overrides["remat_policy"] = "dots"
     model, spec = make_model(args.net, **overrides)
     # pad the KITTI-ish size up to the net's divisor
     d = spec.pad_divisor

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from pcfa_tpu.models.layers import BasicEncoder
 from pcfa_tpu.models.raft import (
     BasicMotionEncoder,
+    _remat_body,
     FlowHead,
     SepConvGRU,
     upsample_flow_convex,
@@ -237,6 +238,7 @@ class GMA(nn.Module):
     position_only: bool = False           # gma_config.json: false
     position_and_content: bool = False    # gma_config.json: false
     remat: bool = False
+    remat_policy: str | None = None  # see models/raft._remat_body
     #: spatial sharding (parallel/sp.py): row-shards BOTH O(N²) objects —
     #: the correlation volume and the global attention matrix
     spatial_axis: str | None = None
@@ -297,7 +299,7 @@ class GMA(nn.Module):
             net = net + seed
             coords1 = coords1 + seed
 
-        body = nn.remat(GMAScanBody) if self.remat else GMAScanBody
+        body = _remat_body(GMAScanBody, self.remat, self.remat_policy)
         scanned = nn.scan(
             body,
             variable_broadcast="params",

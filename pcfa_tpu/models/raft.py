@@ -41,6 +41,22 @@ from pcfa_tpu.ops.correlation import (
 from pcfa_tpu.ops.warp import coords_grid
 
 
+def _remat_body(body_cls, remat: bool, policy_name: str | None):
+    """Wrap a scan-body module class per the remat config. 'dots' keeps
+    matmul/conv outputs resident and recomputes only elementwise ops —
+    cheaper backward than full remat at a modest activation-memory cost."""
+    if not remat:
+        return body_cls
+    if policy_name == "dots":
+        return nn.remat(
+            body_cls,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
+    if policy_name is not None:
+        raise ValueError(f"unknown remat_policy {policy_name!r}")
+    return nn.remat(body_cls)
+
+
 class FlowHead(nn.Module):
     """`update.py:6-14`."""
 
@@ -210,6 +226,11 @@ class RAFT(nn.Module):
     #: default — measured 14% faster fwd+bwd on v5e at KITTI size and the
     #: activations fit HBM comfortably at attack batch sizes
     remat: bool = False
+    #: remat policy: None = full recompute; 'dots' saves matmul/conv
+    #: outputs and recomputes only cheap elementwise ops in the backward
+    #: (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) — a
+    #: middle ground between full remat and no remat for batched pairs
+    remat_policy: str | None = None
     #: spatial sharding (SURVEY.md §2.6 CP analog): run under `shard_map`
     #: over a mesh axis of this name with `spatial_shards` devices. The
     #: O(N²) correlation volume — the memory-scaling pressure for large
@@ -268,7 +289,7 @@ class RAFT(nn.Module):
             net = net + seed
             coords1 = coords1 + seed
 
-        body = nn.remat(RAFTScanBody) if self.remat else RAFTScanBody
+        body = _remat_body(RAFTScanBody, self.remat, self.remat_policy)
         scanned = nn.scan(
             body,
             variable_broadcast="params",

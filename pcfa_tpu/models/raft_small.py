@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from pcfa_tpu.models.layers import SmallEncoder, tconv
+from pcfa_tpu.models.raft import _remat_body
 from pcfa_tpu.ops.correlation import allpairs_correlation, corr_lookup_mm, corr_pyramid
 from pcfa_tpu.ops.warp import coords_grid, upflow
 
@@ -84,6 +85,7 @@ class RAFTSmall(nn.Module):
     hidden_dim: int = 96
     context_dim: int = 64
     remat: bool = False
+    remat_policy: str | None = None  # see models/raft._remat_body
 
     @nn.compact
     def __call__(self, image1: jnp.ndarray, image2: jnp.ndarray):
@@ -110,7 +112,7 @@ class RAFTSmall(nn.Module):
         # consistent under shard_map (vma) — a no-op otherwise
         coords1 = coords_grid(B, H8, W8) + 0.0 * net[..., :2]
 
-        body = nn.remat(SmallScanBody) if self.remat else SmallScanBody
+        body = _remat_body(SmallScanBody, self.remat, self.remat_policy)
         scanned = nn.scan(
             body,
             variable_broadcast="params",

@@ -77,6 +77,10 @@ def main():
 
     att_mod = Attention(heads=1, dim_head=128)
     att_params = att_mod.init(jax.random.PRNGKey(0), fmap)["params"]
+    # cast params to the compute dtype like the runtime does — fp32 init
+    # params would silently promote Q/K and turn the HIGHEST N² einsum
+    # into 6-pass fp32 matmuls (the corr-lookup-weights bug class)
+    att_params = jax.tree.map(lambda t: t.astype(cdtype), att_params)
     att_fn = jax.jit(lambda p, f: att_mod.apply({"params": p}, f))
     t_att = fenced(att_fn, att_params, fmap)
     attn = att_fn(att_params, fmap)
@@ -85,6 +89,7 @@ def main():
 
     agg_mod = Aggregate(heads=1, dim_head=128, dim=128)
     agg_params = agg_mod.init(jax.random.PRNGKey(0), attn, motion)["params"]
+    agg_params = jax.tree.map(lambda t: t.astype(cdtype), agg_params)
     t_agg = fenced(
         jax.jit(lambda p, a, m: agg_mod.apply({"params": p}, a, m)),
         agg_params, attn, motion,
