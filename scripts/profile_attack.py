@@ -21,6 +21,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+if os.environ.get("PCFA_CPU"):
+    # must precede any backend-touching jax call; env vars alone do not
+    # override the session's axon TPU plugin (see tests/conftest.py)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def fenced(fn, *args, n=3):
     """NOTE: through tunneled backends block_until_ready does not wait;
