@@ -269,6 +269,79 @@ def local_correlation(
     return corr
 
 
+def _band_from_taps(taps: jnp.ndarray, K: int) -> jnp.ndarray:
+    """(..., W, K) tap matrix → (..., W, W+K−1) banded matrix with
+    band[..., x, x+k] = taps[..., x, k], pure pad/reshape (no scatter):
+    pad the tap axis to K+W, flatten the last two axes, truncate to
+    W·(K+W−1), reshape — row x then lands shifted by x columns."""
+    *lead, W, _ = taps.shape
+    z = jnp.pad(taps, [(0, 0)] * len(lead) + [(0, 0), (0, W)])
+    z = z.reshape(*lead, W * (K + W))[..., : W * (K + W - 1)]
+    return z.reshape(*lead, W, K + W - 1)
+
+
+def correlation_matmul_bwd(
+    fmap1: jnp.ndarray,
+    fmap2: jnp.ndarray,
+    g: jnp.ndarray,
+    patch: int,
+    stride: int = 1,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """MXU-form backward for the patch-correlation ops (both flavors).
+
+    The XLA shift-and-sum VJP materializes one shifted elementwise pass per
+    displacement — patch² = 441 HBM passes for FlowNetC's global correlation
+    (`correlation_cuda_kernel.cu` backward), where the Pallas backward
+    kernels are gated off (they unroll all shifts and spill at patch 21).
+    Instead, fold the dx displacement axis into a banded (W, W+2R) matrix
+    per (row, dy) — built from the cotangent by a pad/reshape trick, no
+    scatter — and contract it against row-shifted slabs of the other
+    operand:
+
+        df1[y] = Σ_dy  band(g)[y, dy] @ f2p[y + dy·s]          (W×W2)·(W2×C)
+        df2p[y + dy·s] += band(g)[y, dy]ᵀ @ f1[y]              (W2×W)·(W×C)
+
+    Two batched einsums (B·H·patch matmuls each) at 2·B·H·P·W·W2·C FLOPs —
+    MXU work instead of patch² gradient streams. Exact (fp32-accumulated)
+    match of the shift-and-sum VJP.
+    """
+    B, H, W, C = fmap1.shape
+    P = patch
+    R = (P - 1) // 2 * stride
+    K = 2 * R + 1
+    W2 = W + 2 * R
+    f32 = jnp.float32
+
+    # (B, H, W, P·P) → (B, H, P_dy, W, P_dx) → interleave stride zeros on
+    # the dx tap axis → (B, H, P, W, K) → banded (B, H, P, W, W2)
+    g4 = g.reshape(B, H, W, P, P).transpose(0, 1, 3, 2, 4)
+    if stride > 1:
+        z = jnp.zeros((B, H, P, W, P, stride), g.dtype)
+        z = z.at[..., 0].set(g4)
+        taps = z.reshape(B, H, P, W, P * stride)[..., :K]
+    else:
+        taps = g4
+    band = _band_from_taps(taps, K)
+
+    f2p = jnp.pad(fmap2, ((0, 0), (R, R), (R, R), (0, 0)))
+    # F[b, y, d] = f2p rows y + d·stride, all padded cols: (B, H, P, W2, C)
+    F = jnp.stack(
+        [f2p[:, d * stride : d * stride + H] for d in range(P)], axis=2
+    )
+    df1 = jnp.einsum(
+        "bhdxk,bhdkc->bhxc", band, F, preferred_element_type=f32
+    ) / C
+
+    T = jnp.einsum(
+        "bhdxk,bhxc->bhdkc", band, fmap1, preferred_element_type=f32
+    ) / C
+    df2p = jnp.zeros((B, H + 2 * R, W2, C), f32)
+    for d in range(P):
+        df2p = df2p.at[:, d * stride : d * stride + H].add(T[:, :, d])
+    df2 = df2p[:, R : R + H, R : R + W]
+    return df1.astype(fmap1.dtype), df2.astype(fmap2.dtype)
+
+
 def global_correlation(
     fmap1: jnp.ndarray,
     fmap2: jnp.ndarray,

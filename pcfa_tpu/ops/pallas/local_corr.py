@@ -214,9 +214,11 @@ def _backward(fmap1, fmap2, g, patch, stride, interpret=False):
     if P > 128:
         # the kernels unroll all patch² shifts; at FlowNetC's patch 21
         # (441 shifts) Mosaic's register allocator spills ~200 MB of
-        # scoped VMEM and the AOT compile dies. XLA's shift-and-sum VJP
-        # is acceptable there (one fused VPU pass over small /8 maps).
-        return None, None
+        # scoped VMEM and the AOT compile dies. Use the banded-matmul XLA
+        # backward instead (two MXU einsums vs 441 shift-and-sum passes).
+        from pcfa_tpu.ops.correlation import correlation_matmul_bwd
+
+        return correlation_matmul_bwd(fmap1, fmap2, g, patch, stride)
     plan1 = _bwd_plan(W, C, R, nbytes)       # df1: f2 slab (+ g block)
     plan2 = _bwd_plan(W, P + C, R, nbytes)   # df2: g slab + f1 slab
     df1 = df2 = None

@@ -37,6 +37,168 @@ def coords_grid(batch: int, ht: int, wd: int) -> jnp.ndarray:
     return jnp.broadcast_to(coords[None], (batch, ht, wd, 2))
 
 
+def _bilinear_abs_reference(img, ix, iy, zeros: bool):
+    """Bilinear sample at absolute pixel coords via 4 corner gathers.
+
+    Plain-autodiff reference for `_bilinear_abs` (its backward is 4
+    scalar-indexed scatter-adds — measured 85 ms at FlowNet2's full-res
+    warp, the single hottest op of that model's attack closure)."""
+    B, H, W, C = img.shape
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    wx = ix - x0
+    wy = iy - y0
+
+    flat = img.reshape(B, H * W, C)
+    bhw = ix.shape  # (B, Hg, Wg)
+
+    def corner(cx, cy, w):
+        if zeros:
+            valid = (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
+            w = jnp.where(valid, w, 0.0)
+        cxc = jnp.clip(cx, 0, W - 1).astype(jnp.int32)
+        cyc = jnp.clip(cy, 0, H - 1).astype(jnp.int32)
+        idx = (cyc * W + cxc).reshape(B, -1, 1)
+        vals = jnp.take_along_axis(flat, idx, axis=1).reshape(*bhw, C)
+        return vals * w[..., None]
+
+    return (
+        corner(x0, y0, (1 - wx) * (1 - wy))
+        + corner(x0 + 1, y0, wx * (1 - wy))
+        + corner(x0, y0 + 1, (1 - wx) * wy)
+        + corner(x0 + 1, y0 + 1, wx * wy)
+    )
+
+
+def _window_parts(img, ix, iy, zeros: bool):
+    """Shared fwd/bwd machinery of the windowed bilinear sample.
+
+    Returns (win, wm, indices, shapes...) where `win` is the (N, 2, 2, C)
+    corner-value windows from ONE `lax.gather` of 2×2 slices out of an
+    edge-replicated pad of `img`, and `wm` the (N, 2, 2) masked bilinear
+    weights. Independent per-corner border clamping (both torch
+    `padding_mode='border'` after pre-clip and `resample2d_kernel.cu:16-74`'s
+    raw-frac clamping) is reproduced by clipping the window BASE to
+    [-1, dim-1] in the padded array: an out-of-range corner then lands on a
+    replicated border cell — the same value the per-corner clamp reads (and
+    for the scatter transpose, the pad lines fold back onto the border
+    rows/cols, which is exactly where the clamp would have accumulated)."""
+    B, H, W, C = img.shape
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    a = (ix - x0)[..., None]  # (B, Hg, Wg, 1)
+    b = (iy - y0)[..., None]
+
+    r0 = (jnp.clip(y0, -1, H - 1) + 1).astype(jnp.int32)
+    c0 = (jnp.clip(x0, -1, W - 1) + 1).astype(jnp.int32)
+    N = r0.size
+    brow = (jnp.arange(B, dtype=jnp.int32) * (H + 2))[:, None, None]
+    indices = jnp.stack(
+        [(brow + r0).reshape(N), c0.reshape(N)], axis=-1)  # (N, 2)
+
+    padded = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1),
+    )
+    win = jax.lax.gather(
+        padded.reshape(B * (H + 2), W + 2, C),
+        indices,
+        dnums,
+        slice_sizes=(2, 2, C),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )  # (N, 2, 2, C)
+
+    wxs = jnp.stack([1.0 - a, a], axis=-2)        # (B, Hg, Wg, 2, 1)
+    wys = jnp.stack([1.0 - b, b], axis=-2)
+    w = (wys[..., :, None, 0] * wxs[..., None, :, 0])  # (B, Hg, Wg, 2, 2)
+    if zeros:
+        vx = jnp.stack([(x0 >= 0) & (x0 < W), (x0 + 1 >= 0) & (x0 + 1 < W)],
+                       axis=-1)
+        vy = jnp.stack([(y0 >= 0) & (y0 < H), (y0 + 1 >= 0) & (y0 + 1 < H)],
+                       axis=-1)
+        mask = (vy[..., :, None] & vx[..., None, :]).reshape(N, 2, 2)
+        w = jnp.where(vy[..., :, None] & vx[..., None, :], w, 0.0)
+    else:
+        mask = None
+    wm = w.reshape(N, 2, 2)
+    return win, wm, mask, indices, a, b
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _bilinear_abs(img, ix, iy, zeros: bool):
+    """Bilinear sample of `img` (B, H, W, C) at absolute pixel coordinates
+    `ix`/`iy` (B, Hg, Wg). `zeros=True` zeroes out-of-range corner weights
+    (grid_sample 'zeros'); False clamps corners to the border (resample2d /
+    pre-clipped 'border').
+
+    custom_vjp: the image gradient — 4 scalar-indexed scatter-adds under
+    plain autodiff, the hottest op of the FlowNet2 attack closure — becomes
+    ONE windowed (2, 2, C) `scatter_add` into the padded buffer, whose pad
+    lines fold back onto the borders; the coordinate gradients come
+    analytically from the same single windowed gather."""
+    win, wm, _, _, _, _ = _window_parts(img, ix, iy, zeros)
+    B, H, W, C = img.shape
+    # preserve the reference's promotion semantics: vals(img.dtype) · w(coord
+    # dtype) — bf16 features sampled at fp32 coords come out fp32, exactly
+    # like the 4-corner formulation the models were validated against
+    rt = jnp.result_type(img.dtype, ix.dtype)
+    out = jnp.einsum("nkl,nklc->nc", wm.astype(rt), win.astype(rt))
+    return out.reshape(*ix.shape, C)
+
+
+def _bilinear_abs_fwd(img, ix, iy, zeros):
+    return _bilinear_abs(img, ix, iy, zeros), (img, ix, iy)
+
+
+def _bilinear_abs_bwd(zeros, res, g):
+    img, ix, iy = res
+    B, H, W, C = img.shape
+    win, wm, mask, indices, a, b = _window_parts(img, ix, iy, zeros)
+    N = wm.shape[0]
+    gf = g.reshape(N, C).astype(jnp.float32)
+
+    # d img: one windowed scatter-add (transpose of the windowed gather)
+    upd = wm[..., None].astype(jnp.float32) * gf[:, None, None, :]
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2, 3),
+        inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0, 1),
+    )
+    acc = jax.lax.scatter_add(
+        jnp.zeros((B * (H + 2), W + 2, C), jnp.float32),
+        indices,
+        upd,
+        dnums,
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    ).reshape(B, H + 2, W + 2, C)
+    acc = acc[:, 1:-1].at[:, 0].add(acc[:, 0]).at[:, -1].add(acc[:, -1])
+    dimg = (
+        acc[:, :, 1:-1].at[:, :, 0].add(acc[:, :, 0])
+        .at[:, :, -1].add(acc[:, :, -1])
+    ).astype(img.dtype)
+
+    # d ix / d iy: per-corner ⟨value, g⟩ dots from the same window. In
+    # zeros-mode an out-of-range corner contributes nothing (the `where`
+    # zeroes its weight FACTOR, so autodiff — and torch's grid_sample
+    # backward — drop its v·∂w term too).
+    dot = jnp.einsum("nklc,nc->nkl", win.astype(jnp.float32), gf)
+    if mask is not None:
+        dot = jnp.where(mask, dot, 0.0)
+    af = a.reshape(N).astype(jnp.float32)
+    bf = b.reshape(N).astype(jnp.float32)
+    dix = ((1.0 - bf) * (dot[:, 0, 1] - dot[:, 0, 0])
+           + bf * (dot[:, 1, 1] - dot[:, 1, 0]))
+    diy = ((1.0 - af) * (dot[:, 1, 0] - dot[:, 0, 0])
+           + af * (dot[:, 1, 1] - dot[:, 0, 1]))
+    return (dimg, dix.reshape(ix.shape).astype(ix.dtype),
+            diy.reshape(iy.shape).astype(iy.dtype))
+
+
+_bilinear_abs.defvjp(_bilinear_abs_fwd, _bilinear_abs_bwd)
+
+
 def grid_sample(
     img: jnp.ndarray,
     grid: jnp.ndarray,
@@ -64,31 +226,7 @@ def grid_sample(
     elif padding_mode != "zeros":
         raise ValueError(f"unsupported padding_mode: {padding_mode}")
 
-    x0 = jnp.floor(ix)
-    y0 = jnp.floor(iy)
-    wx = ix - x0
-    wy = iy - y0
-
-    flat = img.reshape(B, H * W, C)
-    bhw = x.shape  # (B, Hg, Wg)
-
-    def corner(cx, cy, w):
-        if padding_mode == "zeros":
-            valid = (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
-            w = jnp.where(valid, w, 0.0)
-        cxc = jnp.clip(cx, 0, W - 1).astype(jnp.int32)
-        cyc = jnp.clip(cy, 0, H - 1).astype(jnp.int32)
-        idx = (cyc * W + cxc).reshape(B, -1, 1)
-        vals = jnp.take_along_axis(flat, idx, axis=1).reshape(*bhw, C)
-        return vals * w[..., None]
-
-    out = (
-        corner(x0, y0, (1 - wx) * (1 - wy))
-        + corner(x0 + 1, y0, wx * (1 - wy))
-        + corner(x0, y0 + 1, (1 - wx) * wy)
-        + corner(x0 + 1, y0 + 1, wx * wy)
-    )
-    return out
+    return _bilinear_abs(img, ix, iy, padding_mode == "zeros")
 
 
 def bilinear_sampler(
@@ -170,29 +308,12 @@ def avg_pool2d(img: jnp.ndarray, window: int = 2, stride: int | None = None) -> 
 def resample2d(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """FlowNet2 warp (`resample2d_kernel.cu:16-74`, SURVEY.md §2.5 #3):
     out(x,y) = bilinear(img at (x+u, y+v)), corner indices clamped to the
-    borders with weights from the unclamped fracs. Autodiff supplies the two
+    borders with weights from the unclamped fracs (`_bilinear_abs` with
+    zeros=False), custom windowed-scatter VJP standing in for the two
     backward kernels the reference hand-writes."""
     B, H, W, C = img.shape
     xs = jnp.arange(W, dtype=img.dtype)
     ys = jnp.arange(H, dtype=img.dtype)
     gx = xs[None, None, :] + flow[..., 0]
     gy = ys[None, :, None] + flow[..., 1]
-    x0 = jnp.floor(gx)
-    y0 = jnp.floor(gy)
-    a = (gx - x0)[..., None]
-    b = (gy - y0)[..., None]
-
-    flat = img.reshape(B, H * W, C)
-
-    def gather(yc, xc):
-        yc = jnp.clip(yc, 0, H - 1).astype(jnp.int32)
-        xc = jnp.clip(xc, 0, W - 1).astype(jnp.int32)
-        idx = (yc * W + xc).reshape(B, -1, 1)
-        return jnp.take_along_axis(flat, idx, axis=1).reshape(B, H, W, C)
-
-    return (
-        (1 - a) * (1 - b) * gather(y0, x0)
-        + a * (1 - b) * gather(y0, x0 + 1)
-        + (1 - a) * b * gather(y0 + 1, x0)
-        + a * b * gather(y0 + 1, x0 + 1)
-    )
+    return _bilinear_abs(img, gx, gy, False)

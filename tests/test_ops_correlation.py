@@ -160,3 +160,27 @@ def test_corr_lookup_fused_matches_materialized(rng):
                   argnums=(0, 1, 2))(f1, f2, coords)
     for x, y in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4)
+
+
+@pytest.mark.parametrize("case", [
+    (10, 14, 8, 20, 2),   # FlowNetC flavor (patch 21) at toy size
+    (9, 13, 5, 4, 1),     # PWCNet flavor (patch 9)
+])
+def test_correlation_matmul_bwd_matches_autodiff(case, rng):
+    """The banded-matmul backward (the patch-21 Pallas-gate fallback) must
+    equal the shift-and-sum autodiff VJP exactly for both flavors."""
+    import jax
+
+    from pcfa_tpu.ops.correlation import correlation_matmul_bwd
+
+    H, W, C, md, s = case
+    P = 2 * (md // s) + 1
+    f1 = jnp.asarray(rng.standard_normal((2, H, W, C)).astype(np.float32))
+    f2 = jnp.asarray(rng.standard_normal((2, H, W, C)).astype(np.float32))
+    out, vjp = jax.vjp(
+        lambda a, b: correlation.global_correlation(a, b, md, s), f1, f2)
+    g = jnp.asarray(rng.standard_normal(out.shape).astype(np.float32))
+    d1_ref, d2_ref = vjp(g)
+    d1, d2 = correlation_matmul_bwd(f1, f2, g, P, s)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d1_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d2_ref), atol=1e-5)

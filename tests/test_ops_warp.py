@@ -123,3 +123,62 @@ def test_coords_grid():
     assert grid.shape == (2, 3, 4, 2)
     np.testing.assert_array_equal(grid[0, :, :, 0], np.tile(np.arange(4), (3, 1)))
     np.testing.assert_array_equal(grid[1, :, :, 1], np.tile(np.arange(3)[:, None], (1, 4)))
+
+
+@pytest.mark.parametrize("zeros", [True, False])
+def test_windowed_vjp_matches_reference(zeros, rng):
+    """_bilinear_abs's custom VJP (one windowed gather/scatter) must equal
+    plain autodiff of the 4-corner formulation exactly — values and all
+    three gradients, including far-out-of-range and integer-exact coords."""
+    import jax
+
+    img = jnp.asarray(rng.standard_normal((2, 13, 17, 3)).astype(np.float32))
+    ix = jnp.asarray(rng.uniform(-6, 22, (2, 11, 19)).astype(np.float32))
+    iy = jnp.asarray(rng.uniform(-6, 18, (2, 11, 19)).astype(np.float32))
+    ix = ix.at[0, 0, :5].set(jnp.arange(5, dtype=jnp.float32))
+    iy = iy.at[0, 0, :5].set(3.0)
+    g = jnp.asarray(rng.standard_normal((2, 11, 19, 3)).astype(np.float32))
+
+    o_ref = warp._bilinear_abs_reference(img, ix, iy, zeros)
+    o_new = warp._bilinear_abs(img, ix, iy, zeros)
+    np.testing.assert_allclose(np.asarray(o_new), np.asarray(o_ref), atol=1e-6)
+
+    gr = jax.grad(
+        lambda im, x, y: jnp.sum(warp._bilinear_abs_reference(im, x, y, zeros) * g),
+        argnums=(0, 1, 2),
+    )(img, ix, iy)
+    gn = jax.grad(
+        lambda im, x, y: jnp.sum(warp._bilinear_abs(im, x, y, zeros) * g),
+        argnums=(0, 1, 2),
+    )(img, ix, iy)
+    for a, b in zip(gr, gn):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-6)
+
+
+def test_grid_sample_grads_match_torch(rng):
+    """grid_sample input/grid gradients vs torch (both padding modes)."""
+    import jax
+    import torch
+
+    img = rng.standard_normal((1, 9, 12, 2)).astype(np.float32)
+    grid = rng.uniform(-1.4, 1.4, (1, 7, 10, 2)).astype(np.float32)
+    g = rng.standard_normal((1, 7, 10, 2)).astype(np.float32)
+
+    for mode in ("zeros", "border"):
+        ti = torch.tensor(img.transpose(0, 3, 1, 2), requires_grad=True)
+        tg = torch.tensor(grid, requires_grad=True)
+        out = F.grid_sample(ti, tg, mode="bilinear", padding_mode=mode,
+                            align_corners=True)
+        out.backward(torch.tensor(g.transpose(0, 3, 1, 2)))
+
+        ours = jax.grad(
+            lambda im, gr: jnp.sum(
+                warp.grid_sample(im, gr, align_corners=True, padding_mode=mode)
+                * jnp.asarray(g)),
+            argnums=(0, 1),
+        )(jnp.asarray(img), jnp.asarray(grid))
+        np.testing.assert_allclose(
+            np.asarray(ours[0]),
+            ti.grad.numpy().transpose(0, 2, 3, 1), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(ours[1]), tg.grad.numpy(), atol=1e-4)
