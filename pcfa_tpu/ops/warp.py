@@ -23,6 +23,7 @@ the last axis, like torch.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -199,6 +200,16 @@ def _bilinear_abs_bwd(zeros, res, g):
 _bilinear_abs.defvjp(_bilinear_abs_fwd, _bilinear_abs_bwd)
 
 
+def _bilinear(img, ix, iy, zeros: bool):
+    """Dispatch between the windowed-gather custom-VJP sampler and the
+    4-corner autodiff reference (`PCFA_WARP_VJP=reference`) — a trace-time
+    escape hatch for A/B timing and for backends where the windowed
+    scatter lowering misbehaves."""
+    if os.environ.get("PCFA_WARP_VJP", "") == "reference":
+        return _bilinear_abs_reference(img, ix, iy, zeros)
+    return _bilinear_abs(img, ix, iy, zeros)
+
+
 def grid_sample(
     img: jnp.ndarray,
     grid: jnp.ndarray,
@@ -226,7 +237,7 @@ def grid_sample(
     elif padding_mode != "zeros":
         raise ValueError(f"unsupported padding_mode: {padding_mode}")
 
-    return _bilinear_abs(img, ix, iy, padding_mode == "zeros")
+    return _bilinear(img, ix, iy, padding_mode == "zeros")
 
 
 def bilinear_sampler(
@@ -316,4 +327,4 @@ def resample2d(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     ys = jnp.arange(H, dtype=img.dtype)
     gx = xs[None, None, :] + flow[..., 0]
     gy = ys[None, :, None] + flow[..., 1]
-    return _bilinear_abs(img, gx, gy, False)
+    return _bilinear(img, gx, gy, False)

@@ -56,9 +56,11 @@ def test_universal_dp_matches_serial(flow_fn, batch):
     )
 
     # psum reordering reassociates float sums; differences amplify through
-    # the L-BFGS iterations but stay at noise level
+    # the L-BFGS iterations but stay at noise level (atol covers the worst
+    # observed drift — 8.4e-5 on |x|≈3e-4 elements after the windowed-gather
+    # sampler changed the warp's summation order)
     np.testing.assert_allclose(
-        np.asarray(opt_s.x), np.asarray(opt_p.x), rtol=1e-2, atol=5e-5
+        np.asarray(opt_s.x), np.asarray(opt_p.x), rtol=1e-2, atol=2e-4
     )
     np.testing.assert_allclose(
         np.asarray(m_s.aee_adv_tgt), np.asarray(m_p.aee_adv_tgt),
