@@ -41,9 +41,10 @@ def coords_grid(batch: int, ht: int, wd: int) -> jnp.ndarray:
 def _bilinear_abs_reference(img, ix, iy, zeros: bool):
     """Bilinear sample at absolute pixel coords via 4 corner gathers.
 
-    Plain-autodiff reference for `_bilinear_abs` (its backward is 4
-    scalar-indexed scatter-adds — measured 85 ms at FlowNet2's full-res
-    warp, the single hottest op of that model's attack closure)."""
+    The production TPU path (see `_bilinear`): its backward is 4
+    scalar-indexed scatter-adds, which XLA-TPU vectorizes far better
+    than the windowed 2×2-slice scatter of `_bilinear_abs` (86 vs
+    3091 ms fwd+bwd at FlowNet2's full-res warp on v5e)."""
     B, H, W, C = img.shape
     x0 = jnp.floor(ix)
     y0 = jnp.floor(iy)
@@ -201,13 +202,19 @@ _bilinear_abs.defvjp(_bilinear_abs_fwd, _bilinear_abs_bwd)
 
 
 def _bilinear(img, ix, iy, zeros: bool):
-    """Dispatch between the windowed-gather custom-VJP sampler and the
-    4-corner autodiff reference (`PCFA_WARP_VJP=reference`) — a trace-time
-    escape hatch for A/B timing and for backends where the windowed
-    scatter lowering misbehaves."""
-    if os.environ.get("PCFA_WARP_VJP", "") == "reference":
-        return _bilinear_abs_reference(img, ix, iy, zeros)
-    return _bilinear_abs(img, ix, iy, zeros)
+    """Dispatch between the 4-corner autodiff sampler (default) and the
+    windowed-gather custom-VJP variant (`PCFA_WARP_VJP=windowed`).
+
+    Measured on v5e at FlowNet2's full-res warp (384×1280×3, bf16): the
+    windowed (2,2,C)-slice gather/scatter lowers to a SERIAL per-index
+    loop on TPU — fwd 1028 ms / fwd+bwd 3091 ms vs the 4-corner
+    `take_along_axis` formulation's 60 / 86 ms. XLA vectorizes flat 1-D
+    gathers along the minor dim; it cannot vectorize multi-dim window
+    slices. The windowed path is kept (exact, tested) for backends where
+    scatter lowering differs, but TPU must default to 4-corner."""
+    if os.environ.get("PCFA_WARP_VJP", "") == "windowed":
+        return _bilinear_abs(img, ix, iy, zeros)
+    return _bilinear_abs_reference(img, ix, iy, zeros)
 
 
 def grid_sample(
@@ -319,9 +326,11 @@ def avg_pool2d(img: jnp.ndarray, window: int = 2, stride: int | None = None) -> 
 def resample2d(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """FlowNet2 warp (`resample2d_kernel.cu:16-74`, SURVEY.md §2.5 #3):
     out(x,y) = bilinear(img at (x+u, y+v)), corner indices clamped to the
-    borders with weights from the unclamped fracs (`_bilinear_abs` with
-    zeros=False), custom windowed-scatter VJP standing in for the two
-    backward kernels the reference hand-writes."""
+    borders with weights from the unclamped fracs (`_bilinear` with
+    zeros=False); autodiff of the 4-corner gather stands in for the two
+    backward kernels the reference hand-writes (`resample2d_kernel.cu:77+`)
+    — measured faster on TPU than the windowed-scatter custom VJP, whose
+    window ops lower serially (see `_bilinear`)."""
     B, H, W, C = img.shape
     xs = jnp.arange(W, dtype=img.dtype)
     ys = jnp.arange(H, dtype=img.dtype)
