@@ -201,20 +201,153 @@ def _bilinear_abs_bwd(zeros, res, g):
 _bilinear_abs.defvjp(_bilinear_abs_fwd, _bilinear_abs_bwd)
 
 
+def _corner_weights(img_shape, ix, iy, zeros: bool):
+    """Shared coordinate machinery of the packed-corner sampler.
+
+    Returns (idx, w4, mask4, a, b) where `idx` (N,) flat-indexes the
+    (B, H+1, W+1) grid of padded window BASES, `w4` (N, 4) are the bilinear
+    corner weights in slot order [(0,0), (0,1), (1,0), (1,1)] = [tl, tr,
+    bl, br], and `mask4` (N, 4) the zeros-mode corner validity (None in
+    border mode). Border semantics are the `_window_parts` trick: clip the
+    window base to [-1, dim-1] in an edge-replicated pad, so out-of-range
+    corners read (and, transposed, accumulate onto) the border cells that
+    torch's per-corner clamp uses."""
+    B, H, W, C = img_shape
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    a = ix - x0  # horizontal frac (B, Hg, Wg)
+    b = iy - y0
+
+    r0 = (jnp.clip(y0, -1, H - 1) + 1).astype(jnp.int32)
+    c0 = (jnp.clip(x0, -1, W - 1) + 1).astype(jnp.int32)
+    N = r0.size
+    brow = (jnp.arange(B, dtype=jnp.int32) * (H + 1))[:, None, None]
+    idx = ((brow + r0) * (W + 1) + c0).reshape(N)
+
+    wx = jnp.stack([1.0 - a, a], axis=-1)  # (B, Hg, Wg, 2)
+    wy = jnp.stack([1.0 - b, b], axis=-1)
+    w4 = (wy[..., :, None] * wx[..., None, :]).reshape(N, 4)
+    if zeros:
+        vx = jnp.stack([(x0 >= 0) & (x0 < W), (x0 + 1 >= 0) & (x0 + 1 < W)],
+                       axis=-1)
+        vy = jnp.stack([(y0 >= 0) & (y0 < H), (y0 + 1 >= 0) & (y0 + 1 < H)],
+                       axis=-1)
+        mask4 = (vy[..., :, None] & vx[..., None, :]).reshape(N, 4)
+        w4 = jnp.where(mask4, w4, 0.0)
+    else:
+        mask4 = None
+    return idx, w4, mask4, a, b
+
+
+def _pack_windows(img):
+    """(B, H, W, C) → (B·(H+1)·(W+1), 4C) where row (b, r, c) holds the 2×2
+    edge-replicated window at padded base (r, c), corners concatenated in
+    slot order. Four static-slice copies — vector work, no gather."""
+    B, H, W, C = img.shape
+    p = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    win4 = jnp.concatenate(
+        [p[:, :-1, :-1], p[:, :-1, 1:], p[:, 1:, :-1], p[:, 1:, 1:]],
+        axis=-1,
+    )  # (B, H+1, W+1, 4C)
+    return win4.reshape(B * (H + 1) * (W + 1), 4 * C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _bilinear_abs_packed(img, ix, iy, zeros: bool):
+    """Packed-corner bilinear sample: ONE flat gather of 4C-wide rows.
+
+    The 4-corner formulation issues 4 gathers (and, transposed, 4
+    scatter-adds) of C-wide rows; at image C=3 that is 4× the index rows
+    at 3/128-lane row width — the dominant cost of the FlowNet2 attack
+    closure (a full-res warp measured 35.4 ms fwd / 119.9 ms fwd+bwd on
+    v5e, vs ~45 ms for a whole FlowNetC fwd+bwd). Packing the 2×2 window
+    into one 4C-contiguous row quarters the index rows and widens each
+    transferred row 4×, for both the gather and its scatter transpose."""
+    B, H, W, C = img.shape
+    idx, w4, _, _, _ = _corner_weights(img.shape, ix, iy, zeros)
+    win = _pack_windows(img).at[idx].get(
+        mode="promise_in_bounds").reshape(-1, 4, C)  # (N, 4, C)
+    rt = jnp.result_type(img.dtype, ix.dtype)
+    out = jnp.einsum("nk,nkc->nc", w4.astype(rt), win.astype(rt))
+    return out.reshape(*ix.shape, C)
+
+
+def _bilinear_abs_packed_fwd(img, ix, iy, zeros):
+    B, H, W, C = img.shape
+    idx, w4, mask4, a, b = _corner_weights(img.shape, ix, iy, zeros)
+    win = _pack_windows(img).at[idx].get(
+        mode="promise_in_bounds").reshape(-1, 4, C)
+    rt = jnp.result_type(img.dtype, ix.dtype)
+    out = jnp.einsum("nk,nkc->nc", w4.astype(rt), win.astype(rt))
+    # save the gathered windows: the backward's coordinate grads need the
+    # corner VALUES — re-gathering them would repeat the hot op. `img`
+    # rides along only for its (static) shape/dtype — statics can't be
+    # pytree leaves in custom_vjp residuals.
+    return out.reshape(*ix.shape, C), (img, win, idx, w4, mask4, a, b)
+
+
+def _bilinear_abs_packed_bwd(zeros, res, g):
+    img, win, idx, w4, mask4, a, b = res
+    B, H, W, C = img.shape
+    img_dtype, coord_dtype = img.dtype, a.dtype
+    N = w4.shape[0]
+    gf = g.reshape(N, C).astype(jnp.float32)
+
+    # d img: ONE flat scatter-add of 4C-wide rows into the padded-base
+    # grid, then four static shifted adds place each corner slot at its
+    # true (base + (dy, dx)) cell of the (H+2, W+2) padded image, and the
+    # pad lines fold onto the borders (exactly the clamp's accumulation
+    # targets; in zeros mode the masked weights already zero them).
+    upd = (w4.astype(jnp.float32)[:, :, None] * gf[:, None, :]).reshape(
+        N, 4 * C)
+    buf = jnp.zeros((B * (H + 1) * (W + 1), 4 * C), jnp.float32)
+    buf = buf.at[idx].add(upd, mode="promise_in_bounds")
+    buf = buf.reshape(B, H + 1, W + 1, 4, C)
+    acc = jnp.zeros((B, H + 2, W + 2, C), jnp.float32)
+    acc = acc.at[:, :-1, :-1].add(buf[..., 0, :])
+    acc = acc.at[:, :-1, 1:].add(buf[..., 1, :])
+    acc = acc.at[:, 1:, :-1].add(buf[..., 2, :])
+    acc = acc.at[:, 1:, 1:].add(buf[..., 3, :])
+    acc = acc[:, 1:-1].at[:, 0].add(acc[:, 0]).at[:, -1].add(acc[:, -1])
+    dimg = (
+        acc[:, :, 1:-1].at[:, :, 0].add(acc[:, :, 0])
+        .at[:, :, -1].add(acc[:, :, -1])
+    ).astype(img_dtype)
+
+    # d ix / d iy from the saved corner values (slot order tl, tr, bl, br).
+    dot = jnp.einsum("nkc,nc->nk", win.astype(jnp.float32), gf)
+    if mask4 is not None:
+        dot = jnp.where(mask4, dot, 0.0)
+    af = a.reshape(N).astype(jnp.float32)
+    bf = b.reshape(N).astype(jnp.float32)
+    dix = ((1.0 - bf) * (dot[:, 1] - dot[:, 0])
+           + bf * (dot[:, 3] - dot[:, 2]))
+    diy = ((1.0 - af) * (dot[:, 2] - dot[:, 0])
+           + af * (dot[:, 3] - dot[:, 1]))
+    return (dimg, dix.reshape(a.shape).astype(coord_dtype),
+            diy.reshape(b.shape).astype(coord_dtype))
+
+
+_bilinear_abs_packed.defvjp(_bilinear_abs_packed_fwd, _bilinear_abs_packed_bwd)
+
+
 def _bilinear(img, ix, iy, zeros: bool):
-    """Dispatch between the 4-corner autodiff sampler (default) and the
-    windowed-gather custom-VJP variant (`PCFA_WARP_VJP=windowed`).
+    """Dispatch between the bilinear-sampler formulations
+    (`PCFA_WARP_VJP=packed|reference|windowed`, default packed).
 
     Measured on v5e at FlowNet2's full-res warp (384×1280×3, bf16): the
     windowed (2,2,C)-slice gather/scatter lowers to a SERIAL per-index
     loop on TPU — fwd 1028 ms / fwd+bwd 3091 ms vs the 4-corner
     `take_along_axis` formulation's 60 / 86 ms. XLA vectorizes flat 1-D
     gathers along the minor dim; it cannot vectorize multi-dim window
-    slices. The windowed path is kept (exact, tested) for backends where
-    scatter lowering differs, but TPU must default to 4-corner."""
-    if os.environ.get("PCFA_WARP_VJP", "") == "windowed":
+    slices. `packed` keeps the flat-1-D lowering but moves the whole 2×2
+    window per index row (see `_bilinear_abs_packed`)."""
+    mode = os.environ.get("PCFA_WARP_VJP", "packed")
+    if mode == "windowed":
         return _bilinear_abs(img, ix, iy, zeros)
-    return _bilinear_abs_reference(img, ix, iy, zeros)
+    if mode == "reference":
+        return _bilinear_abs_reference(img, ix, iy, zeros)
+    return _bilinear_abs_packed(img, ix, iy, zeros)
 
 
 def grid_sample(

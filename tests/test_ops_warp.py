@@ -155,6 +155,42 @@ def test_windowed_vjp_matches_reference(zeros, rng):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-6)
 
 
+@pytest.mark.parametrize("zeros", [True, False])
+def test_packed_vjp_matches_reference(zeros, rng):
+    """_bilinear_abs_packed (ONE 4C-wide gather / scatter, the TPU default)
+    must equal plain autodiff of the 4-corner formulation exactly — values
+    and all three gradients, including far-out-of-range, border-exact and
+    integer-exact coords, and bf16→fp32 promotion semantics."""
+    import jax
+
+    img = jnp.asarray(rng.standard_normal((2, 13, 17, 3)).astype(np.float32))
+    ix = jnp.asarray(rng.uniform(-6, 22, (2, 11, 19)).astype(np.float32))
+    iy = jnp.asarray(rng.uniform(-6, 18, (2, 11, 19)).astype(np.float32))
+    ix = ix.at[0, 0, :5].set(jnp.arange(5, dtype=jnp.float32))
+    iy = iy.at[0, 0, :5].set(3.0)
+    ix = ix.at[0, 1, :4].set(jnp.asarray([0.0, 16.0, -1.0, 17.0]))
+    iy = iy.at[0, 1, :4].set(jnp.asarray([0.0, 12.0, -1.0, 13.0]))
+    g = jnp.asarray(rng.standard_normal((2, 11, 19, 3)).astype(np.float32))
+
+    o_ref = warp._bilinear_abs_reference(img, ix, iy, zeros)
+    o_new = warp._bilinear_abs_packed(img, ix, iy, zeros)
+    np.testing.assert_allclose(np.asarray(o_new), np.asarray(o_ref), atol=1e-6)
+
+    gr = jax.grad(
+        lambda im, x, y: jnp.sum(warp._bilinear_abs_reference(im, x, y, zeros) * g),
+        argnums=(0, 1, 2),
+    )(img, ix, iy)
+    gn = jax.grad(
+        lambda im, x, y: jnp.sum(warp._bilinear_abs_packed(im, x, y, zeros) * g),
+        argnums=(0, 1, 2),
+    )(img, ix, iy)
+    for a, b in zip(gr, gn):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
+
+    ob = warp._bilinear_abs_packed(img.astype(jnp.bfloat16), ix, iy, zeros)
+    assert ob.dtype == jnp.float32  # bf16 values at fp32 coords promote
+
+
 def test_grid_sample_grads_match_torch(rng):
     """grid_sample input/grid gradients vs torch (both padding modes)."""
     import jax
