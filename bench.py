@@ -170,7 +170,10 @@ def main():
     if SMOKE:
         H, W, steps, max_iter, raft_iters = 128, 128, 2, 2, 2
     else:
-        H, W, steps, max_iter, raft_iters = 376, 1248, 20, 10, 12
+        # None → per-net registry default (RAFT 12, GMA 6 — the reference
+        # adapter's values, `ownutilities.py:324,327`); an earlier bench
+        # forced 12 on GMA too, doubling its depth vs the published config
+        H, W, steps, max_iter, raft_iters = 376, 1248, 20, 10, None
     if args.size:
         H, W = (int(v) for v in args.size.split("x"))
 
@@ -205,8 +208,9 @@ def main():
           "weights only (scripts/validate_precision.py); real-weight AEE "
           "parity pending weight downloads (BASELINE.md)", file=sys.stderr)
 
-    overrides = {"iters": raft_iters} if args.net in ("RAFT", "GMA",
-                                                      "RAFT-small") else {}
+    overrides = ({"iters": raft_iters}
+                 if raft_iters and args.net in ("RAFT", "GMA", "RAFT-small")
+                 else {})
     if args.corr_impl != "materialized":
         overrides.update(corr_impl=args.corr_impl,
                          corr_block=args.corr_block)
@@ -331,8 +335,9 @@ def main():
 
     print(json.dumps({
         "metric": "attacked frame-pairs/sec/chip "
-                  f"({args.net} PCFA steps={steps} maxiter={max_iter}, "
-                  f"{H}x{W}"
+                  f"({args.net}"
+                  + (f"-{model.iters}it" if hasattr(model, "iters") else "")
+                  + f" PCFA steps={steps} maxiter={max_iter}, {H}x{W}"
                   + (", fused-corr" if args.corr_impl == "fused" else "")
                   + ")" + (" [SMOKE]" if SMOKE else ""),
         "value": round(value, 6),

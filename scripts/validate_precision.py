@@ -74,7 +74,9 @@ def main():
 
     print("device:", jax.devices()[0].device_kind, file=sys.stderr)
 
-    overrides = {"iters": 12} if args.net in ("RAFT", "GMA") else {}
+    # registry defaults carry the adapter's per-net iteration counts
+    # (RAFT 12, GMA 6 — `ownutilities.py:324,327`)
+    overrides = {}
     if args.corr_impl != "materialized":
         overrides["corr_impl"] = args.corr_impl
     model, spec = make_model(args.net, **overrides)
