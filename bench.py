@@ -45,6 +45,25 @@ if os.environ.get("PCFA_CPU"):
 # measured on this machine (see module docstring / BASELINE.md)
 CPU_BASELINE_PAIRS_PER_SEC = 2.175e-4
 
+#: per-net torch-reference CPU baselines (this machine, 1 core), pairs/s at
+#: the published attack config (steps=20, max_iter=10 → 220 closure evals
+#: per pair). Measured with --measure-cpu --net <N>. PWCNet's vendored CPU
+#: correlation sampler isn't pip-installed here and FlowNet2's three
+#: extension packages are CUDA-only upstream, so those two use the
+#: documented-semantics pure-torch op re-enactments the parity tests use
+#: (tests/test_pwcnet.py, tests/test_flownet2.py) — approximations of a
+#: reference configuration that cannot itself run on this CPU. SpyNet's
+#: reference constructor hard-requires weight files, so its recipe
+#: (SpyNet.py:104-158) is re-enacted with torch primitives at random init.
+PER_NET_CPU_BASELINE: dict[str, float | None] = {
+    "RAFT": CPU_BASELINE_PAIRS_PER_SEC,
+    "GMA": None,
+    "SpyNet": None,
+    "PWCNet": None,
+    "FlowNet2": None,
+    "RAFT-small": None,
+}
+
 #: dense peak FLOPs/s per chip by `jax.Device.device_kind` (bf16 matmul
 #: peak — the bench's default compute dtype). Sources: public TPU spec
 #: sheets (v5e 197 TFLOPs bf16, v4 275, v5p 459, v6e 918).
@@ -94,28 +113,201 @@ def analytic_flops(jitted, *args) -> float | None:
 SMOKE = os.environ.get("PCFA_BENCH_PRESET") == "smoke"
 
 
-def measure_cpu_baseline(H: int, W: int, steps: int, max_iter: int) -> float:
-    """Pairs/sec of the torch reference RAFT PCFA closure on CPU."""
+def _torch_spynet_closure(H: int, W: int):
+    """SpyNet recipe (`SpyNet.py:104-158`) re-enacted with torch primitives
+    at random init (the reference constructor hard-loads per-layer weight
+    files, `SpyNet.py:77-81`); 6 pyramid levels as shipped."""
+    import torch
+    import torch.nn.functional as F
+
+    levels = []
+    torch.manual_seed(0)
+    for _ in range(6):
+        layers = [(torch.randn(co, ci, 7, 7) * 0.02, torch.zeros(co))
+                  for ci, co in ((8, 32), (32, 64), (64, 32), (32, 16),
+                                 (16, 2))]
+        levels.append(layers)
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+
+    def forward(img1, img2):
+        pyr1, pyr2 = [(img1 - mean) / std], [(img2 - mean) / std]
+        for _ in range(5):
+            pyr1.insert(0, F.avg_pool2d(pyr1[0], 2, 2))
+            pyr2.insert(0, F.avg_pool2d(pyr2[0], 2, 2))
+        B, _, h0, w0 = pyr1[0].shape
+        flow = torch.zeros(B, 2, h0 // 2, w0 // 2)
+        for lvl in range(6):
+            up = F.interpolate(flow, scale_factor=2, mode="bilinear") * 2.0
+            Hh, Ww = pyr1[lvl].shape[2:]
+            gx = torch.linspace(-1, 1, Ww).view(1, 1, 1, Ww).expand(B, 1, Hh, Ww)
+            gy = torch.linspace(-1, 1, Hh).view(1, 1, Hh, 1).expand(B, 1, Hh, Ww)
+            nf = torch.cat([up[:, 0:1] / ((Ww - 1) / 2.0),
+                            up[:, 1:2] / ((Hh - 1) / 2.0)], 1)
+            grid = (torch.cat([gx, gy], 1) + nf).clamp(-1, 1)
+            warped = F.grid_sample(pyr2[lvl], grid.permute(0, 2, 3, 1),
+                                   mode="bilinear", align_corners=False)
+            x = torch.cat([pyr1[lvl], warped, up], 1)
+            for w, b in levels[lvl][:-1]:
+                x = F.relu(F.conv2d(x, w, b, padding=3))
+            w, b = levels[lvl][-1]
+            flow = F.conv2d(x, w, b, padding=3) + up
+        return flow
+
+    return forward, 1.0
+
+
+def _torch_model_closure(net: str):
+    """(forward(x1,x2)->flow, input_scale) for the importable reference
+    nets; installs the parity tests' documented-semantics op stubs where
+    the reference's extension packages are CUDA-only/uninstallable."""
+    import types
+    from argparse import Namespace
+
+    import torch
+    import torch.nn.functional as F
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+
+    if net in ("RAFT", "RAFT-small"):
+        from models.raft.raft import RAFT as TorchRAFT
+
+        cfg = {"small": net == "RAFT-small", "mixed_precision": False,
+               "dropout": 0, "alternate_corr": False}
+        torch.manual_seed(0)
+        m = TorchRAFT(cfg).eval()
+        return (lambda a, b: m(a, b, iters=12, test_mode=True)[1]), 255.0, m
+
+    if net == "GMA":
+        from models.gma.network import RAFTGMA
+
+        cfg = Namespace(num_heads=1, mixed_precision=False,
+                        position_only=False, position_and_content=False,
+                        dropout=0)
+        torch.manual_seed(0)
+        m = RAFTGMA(cfg).eval()
+        # the adapter calls GMA with iters=6 (`ownutilities.py:327`)
+        return (lambda a, b: m(a, b, iters=6, test_mode=True)[1]), 255.0, m
+
+    if net == "PWCNet":
+        def spatial_correlation_sample(x1, x2, kernel_size=1, patch_size=9,
+                                       stride=1):
+            B, C, Hh, Ww = x1.shape
+            R = (patch_size - 1) // 2
+            x2p = F.pad(x2, (R, R, R, R))
+            rows = [(x1 * x2p[:, :, pi:pi + Hh, pj:pj + Ww]).sum(1)
+                    for pi in range(patch_size) for pj in range(patch_size)]
+            return torch.stack(rows, 1).view(B, patch_size, patch_size,
+                                             Hh, Ww)
+
+        mod = types.ModuleType("spatial_correlation_sampler")
+        mod.spatial_correlation_sample = spatial_correlation_sample
+        sys.modules.setdefault("spatial_correlation_sampler", mod)
+        torch.Tensor.cuda = lambda self, *a, **k: self  # PWCNet.py:194
+        from models.PWCNet.PWCNet import PWCDCNet
+
+        torch.manual_seed(0)
+        m = PWCDCNet().eval()
+        return (lambda a, b: m(a, b)), 1.0, m
+
+    if net == "FlowNet2":
+        class Correlation(torch.nn.Module):
+            def __init__(self, pad_size=20, kernel_size=1,
+                         max_displacement=20, stride1=1, stride2=2,
+                         corr_multiply=1):
+                super().__init__()
+                self.R, self.s2 = max_displacement, stride2
+
+            def forward(self, f1, f2):
+                B, C, Hh, Ww = f1.shape
+                R, s2 = self.R, self.s2
+                f2p = F.pad(f2, (R, R, R, R))
+                outs = [(f1 * f2p[:, :, dy + R:dy + R + Hh,
+                                  dx + R:dx + R + Ww]).sum(1)
+                        for dy in range(-R, R + 1, s2)
+                        for dx in range(-R, R + 1, s2)]
+                return torch.stack(outs, 1) / C
+
+        class Resample2d(torch.nn.Module):
+            def __init__(self, kernel_size=1, bilinear=True):
+                super().__init__()
+
+            def forward(self, img, flow):
+                B, C, Hh, Ww = img.shape
+                gx = torch.arange(Ww).view(1, 1, Ww) + flow[:, 0]
+                gy = torch.arange(Hh).view(1, Hh, 1) + flow[:, 1]
+                x0, y0 = gx.floor(), gy.floor()
+                a = (gx - x0).unsqueeze(1)
+                b = (gy - y0).unsqueeze(1)
+
+                def gather(yc, xc):
+                    yc = yc.clamp(0, Hh - 1).long()
+                    xc = xc.clamp(0, Ww - 1).long()
+                    idx = (yc * Ww + xc).view(B, 1, -1).expand(B, C, Hh * Ww)
+                    return img.reshape(B, C, -1).gather(2, idx).view(
+                        B, C, Hh, Ww)
+
+                return ((1 - a) * (1 - b) * gather(y0, x0)
+                        + a * (1 - b) * gather(y0, x0 + 1)
+                        + (1 - a) * b * gather(y0 + 1, x0)
+                        + a * b * gather(y0 + 1, x0 + 1))
+
+        class ChannelNorm(torch.nn.Module):
+            def __init__(self, norm_deg=2):
+                super().__init__()
+
+            def forward(self, x):
+                return x.pow(2).sum(1, keepdim=True).sqrt()
+
+        for name, attr, cls in (
+            ("models.FlowNet.correlation_package.correlation",
+             "Correlation", Correlation),
+            ("models.FlowNet.resample2d_package.resample2d",
+             "Resample2d", Resample2d),
+            ("models.FlowNet.channelnorm_package.channelnorm",
+             "ChannelNorm", ChannelNorm),
+        ):
+            mod = types.ModuleType(name)
+            setattr(mod, attr, cls)
+            sys.modules[name] = mod
+        from models.FlowNet.FlowNet2 import FlowNet2 as TorchFN2
+
+        torch.manual_seed(0)
+        m = TorchFN2(Namespace(fp16=False, rgb_max=255.0),
+                     batchNorm=False).eval()
+
+        def fwd(a, b):
+            return m(torch.stack([a, b], dim=2))  # (B,3,2,H,W)
+
+        return fwd, 255.0, m
+
+
+def measure_cpu_baseline(net: str, H: int, W: int, steps: int,
+                         max_iter: int) -> float:
+    """Pairs/sec of the torch reference PCFA closure on this machine's CPU.
+
+    One closure = full forward + backward wrt both input frames
+    (`attack_PCFA.py:175-192`); a pair costs steps*(max_iter+1) closures."""
     import torch
 
-    sys.path.insert(0, "/root/reference")
-    from models.raft.raft import RAFT as TorchRAFT
+    if net == "SpyNet":
+        fwd, scale = _torch_spynet_closure(H, W)
+    else:
+        fwd, scale, m = _torch_model_closure(net)
+        for p in m.parameters():
+            p.requires_grad = False
 
-    cfg = {"small": False, "mixed_precision": False, "dropout": 0,
-           "alternate_corr": False}
-    torch.manual_seed(0)
-    m = TorchRAFT(cfg).eval()
-    for p in m.parameters():
-        p.requires_grad = False
     rng = np.random.default_rng(0)
-    x1 = torch.from_numpy((rng.random((1, 3, H, W)) * 255).astype(np.float32))
-    x2 = torch.from_numpy((rng.random((1, 3, H, W)) * 255).astype(np.float32))
+    x1 = torch.from_numpy(
+        (rng.random((1, 3, H, W)) * scale).astype(np.float32))
+    x2 = torch.from_numpy(
+        (rng.random((1, 3, H, W)) * scale).astype(np.float32))
     x1.requires_grad_(True)
     x2.requires_grad_(True)
 
     def closure_eval():
-        _, up = m(x1, x2, iters=12, test_mode=True)
-        up.pow(2).mean().backward()
+        fwd(x1, x2).pow(2).mean().backward()
         x1.grad = None
         x2.grad = None
 
@@ -123,6 +315,7 @@ def measure_cpu_baseline(H: int, W: int, steps: int, max_iter: int) -> float:
     t0 = time.perf_counter()
     closure_eval()
     per_eval = time.perf_counter() - t0
+    print(f"# torch-CPU {net} closure: {per_eval:.1f}s", file=sys.stderr)
     evals_per_pair = steps * (max_iter + 1)
     return 1.0 / (per_eval * evals_per_pair)
 
@@ -320,11 +513,16 @@ def main():
     value = 1.0 / per_pair
 
     if args.measure_cpu:
-        baseline = measure_cpu_baseline(H, W, steps, max_iter)
-        print(f"# measured CPU baseline: {baseline:.3e} pairs/s",
-              file=sys.stderr)
+        baseline = measure_cpu_baseline(args.net, H, W, steps, max_iter)
+        print(f"# measured CPU baseline ({args.net}): {baseline:.3e} "
+              "pairs/s", file=sys.stderr)
     else:
-        baseline = CPU_BASELINE_PAIRS_PER_SEC
+        baseline = PER_NET_CPU_BASELINE.get(args.net)
+        if baseline is None:
+            print(f"# no recorded torch-CPU baseline for {args.net}; "
+                  "vs_baseline uses the RAFT denominator "
+                  "(re-measure with --measure-cpu)", file=sys.stderr)
+            baseline = CPU_BASELINE_PAIRS_PER_SEC
 
     peak = PEAK_FLOPS.get(dev.device_kind)
     mfu = None
