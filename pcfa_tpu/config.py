@@ -95,3 +95,20 @@ class RuntimeConfig:
         jax.config.update("jax_default_matmul_precision", precision)
         if self.debug_nans:
             jax.config.update("jax_debug_nans", True)
+
+        # persistent compilation cache: the attack programs are identical
+        # across CLI/bench/profiler invocations but cost minutes per compile
+        # on remote TPU compilers. Keyed by HLO hash, so correctness-neutral;
+        # backends that can't serialize executables simply skip it.
+        # PCFA_COMPILE_CACHE=0 disables; any other value overrides the dir.
+        cache_dir = os.environ.get("PCFA_COMPILE_CACHE", "")
+        if cache_dir != "0":
+            if not cache_dir:
+                cache_dir = str(Path(__file__).resolve().parent.parent
+                                / ".jax_cache")
+            try:
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                                  2.0)
+            except Exception:  # noqa: BLE001 — older jax without the knobs
+                pass
