@@ -101,8 +101,12 @@ class RuntimeConfig:
         # on remote TPU compilers. Keyed by HLO hash, so correctness-neutral;
         # backends that can't serialize executables simply skip it.
         # PCFA_COMPILE_CACHE=0 disables; any other value overrides the dir.
+        # CPU runs skip it by default: XLA:CPU AOT reload is brittle across
+        # machine-feature fingerprints (loader warns about possible SIGILL).
         cache_dir = os.environ.get("PCFA_COMPILE_CACHE", "")
-        if cache_dir != "0":
+        on_cpu = (os.environ.get("PCFA_CPU")
+                  or getattr(jax.config, "jax_platforms", None) == "cpu")
+        if cache_dir != "0" and not (on_cpu and not cache_dir):
             if not cache_dir:
                 cache_dir = str(Path(__file__).resolve().parent.parent
                                 / ".jax_cache")

@@ -131,6 +131,41 @@ def main():
     ms = slope_ms(tstep, (net0, corr0), n_lo, n_hi)
     print(f"{'motion-enc+GRU+heads fwd+bwd':30s} {ms:8.1f} ms/call")
 
+    # --- mask head alone (runs every iteration; only the last mask is used)
+    class MaskHead(nn.Module):
+        @nn.compact
+        def __call__(self, net):
+            m = nn.relu(tconv(256, (3, 3), name="mask_conv1")(net))
+            return 0.25 * tconv(64 * 9, (1, 1), name="mask_conv2")(m)
+
+    mh = MaskHead()
+    mparams = cast(mh.init(jax.random.PRNGKey(0), net0)["params"])
+    mg = jax.jit(jax.grad(
+        lambda n: jnp.sum(mh.apply({"params": mparams},
+                                   n).astype(jnp.float32) ** 2)))
+
+    def mstep(n):
+        return n + 1e-6 * mg(n)
+
+    ms = slope_ms(mstep, net0, n_lo, n_hi)
+    print(f"{'mask head fwd+bwd':30s} {ms:8.1f} ms/call")
+
+    # --- convex upsample ----------------------------------------------------
+    from pcfa_tpu.models.raft import upsample_flow_convex
+
+    flow_lr0 = jnp.asarray(rng.standard_normal((B, H8, W8, 2)), jnp.float32)
+    mask0 = jnp.asarray(rng.standard_normal((B, H8, W8, 576)), cdtype)
+    ug = jax.jit(jax.grad(
+        lambda fl, m: jnp.sum(upsample_flow_convex(fl, m) ** 2),
+        argnums=(0, 1)))
+
+    def ustep(fm):
+        dfl, dm = ug(*fm)
+        return (fm[0] + 1e-6 * dfl, fm[1] + 1e-6 * dm)
+
+    ms = slope_ms(ustep, (flow_lr0, mask0), n_lo, n_hi)
+    print(f"{'convex upsample fwd+bwd':30s} {ms:8.1f} ms/call")
+
     # --- full iteration (reconciliation) ------------------------------------
     body = RAFTScanBody()
     carry0 = (net0, coords0 + 0.37)
