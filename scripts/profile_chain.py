@@ -181,10 +181,13 @@ def main():
         cnt = jnp.asarray(m, jnp.int32)
         hd = jnp.asarray(1.0, jnp.float32)
 
-        dirfn = jax.jit(lambda gr: _compact_direction(gr, yb, sb, hd, cnt))
+        # buffers as ARGS, not captures: captured arrays become inline HLO
+        # constants (2.25 GB payload — the tunnel rejects >400 MB compiles)
+        dirfn = jax.jit(lambda gr, y, s: _compact_direction(gr, y, s, hd,
+                                                            cnt))
 
         def lstep(gr, dirfn=dirfn):
-            return gr + 1e-6 * dirfn(gr)
+            return gr + 1e-6 * dirfn(gr, yb, sb)
 
         g0 = jnp.asarray(rng.standard_normal((n,)), jnp.float32)
         ms = slope_ms(lstep, g0, n_lo, n_hi)
