@@ -178,10 +178,28 @@ class GMAScanBody(nn.Module):
     corr_impl: str = "materialized"
     corr_block: int = 1024
 
-    @nn.compact
-    def __call__(self, carry, const):
+    def setup(self):
         from pcfa_tpu.models.layers import tconv
 
+        # attribute names = checkpoint submodule names (update.py:112-139)
+        self.encoder = BasicMotionEncoder()
+        self.aggregator = Aggregate(
+            heads=self.heads, dim_head=128, dim=128,
+            spatial_axis=self.spatial_axis,
+            spatial_shards=self.spatial_shards)
+        self.gru = SepConvGRU(self.hidden_dim)
+        self.flow_head = FlowHead(256)
+        self.mask_conv1 = tconv(256, (3, 3))
+        self.mask_conv2 = tconv(64 * 9, (1, 1))
+
+    def mask(self, net):
+        """Upsampling-mask head, hoisted out of the scan — only the final
+        iteration's mask is consumed and it depends only on the final GRU
+        state (see RAFTScanBody.mask)."""
+        m = nn.relu(self.mask_conv1(net))
+        return 0.25 * self.mask_conv2(m)
+
+    def __call__(self, carry, const):
         net, coords1 = carry
         if self.corr_impl == "fused":
             inp, coords0, attention, fmap1, pyramid = const
@@ -210,18 +228,12 @@ class GMAScanBody(nn.Module):
         flow = coords1 - coords0
         # keep bf16 compute dtypes from being promoted by the fp32 coords
         corr, flow = corr.astype(net.dtype), flow.astype(net.dtype)
-        motion = BasicMotionEncoder(name="encoder")(flow, corr)
-        motion_global = Aggregate(
-            heads=self.heads, dim_head=128, dim=128,
-            spatial_axis=self.spatial_axis,
-            spatial_shards=self.spatial_shards, name="aggregator"
-        )(attention, motion)
+        motion = self.encoder(flow, corr)
+        motion_global = self.aggregator(attention, motion)
         gru_in = jnp.concatenate([inp, motion, motion_global], axis=-1)
-        net = SepConvGRU(self.hidden_dim, name="gru")(net, gru_in)
-        delta_flow = FlowHead(256, name="flow_head")(net)
-        m = nn.relu(tconv(256, (3, 3), name="mask_conv1")(net))
-        mask = 0.25 * tconv(64 * 9, (1, 1), name="mask_conv2")(m)
-        return (net, coords1 + delta_flow), mask
+        net = self.gru(net, gru_in)
+        delta_flow = self.flow_head(net)
+        return (net, coords1 + delta_flow), None
 
 
 class GMA(nn.Module):
@@ -306,6 +318,7 @@ class GMA(nn.Module):
             split_rngs={"params": False},
             in_axes=nn.broadcast,
             length=self.iters,
+            methods=["__call__"],  # .mask() stays unscanned
         )(self.hidden_dim, self.corr_radius, self.num_heads,
           spatial_axis=self.spatial_axis, spatial_shards=self.spatial_shards,
           corr_impl=self.corr_impl, corr_block=self.corr_block,
@@ -314,8 +327,8 @@ class GMA(nn.Module):
         const = ((inp, coords0, attention, fmap1, tuple(pyramid))
                  if self.corr_impl == "fused"
                  else (inp, coords0, attention, tuple(pyramid)))
-        (net, coords1), masks = scanned((net, coords1), const)
-        up_mask = masks[-1]
+        (net, coords1), _ = scanned((net, coords1), const)
+        up_mask = scanned.mask(net)
 
         flow_lr = coords1 - coords0
         flow_up = upsample_flow_convex(flow_lr, up_mask)

@@ -168,7 +168,24 @@ class RAFTScanBody(nn.Module):
     corr_impl: str = "materialized"
     corr_block: int = 1024
 
-    @nn.compact
+    def setup(self):
+        # attribute names = checkpoint submodule names (update.py:114-136)
+        self.encoder = BasicMotionEncoder()
+        self.gru = SepConvGRU(self.hidden_dim)
+        self.flow_head = FlowHead(256)
+        self.mask_conv1 = tconv(256, (3, 3))
+        self.mask_conv2 = tconv(64 * 9, (1, 1))
+
+    def mask(self, net):
+        """Upsampling-mask head. Only the FINAL iteration's mask feeds the
+        convex upsampler (`raft.py:141-142` returns the last flow_up), and
+        it is a pure function of the final GRU state — so the caller runs
+        this ONCE after the scan instead of 12× inside it (same math,
+        `masks[-1] == mask(net_final)`; saves 11 mask-head fwd+bwd passes
+        per closure)."""
+        m = nn.relu(self.mask_conv1(net))
+        return 0.25 * self.mask_conv2(m)
+
     def __call__(self, carry, const):
         net, coords1 = carry
         if self.corr_impl == "fused":
@@ -199,13 +216,11 @@ class RAFTScanBody(nn.Module):
         # coords stay fp32 (pixel positions); under a bf16 compute dtype the
         # network features must not be silently promoted back to fp32
         corr, flow = corr.astype(net.dtype), flow.astype(net.dtype)
-        motion = BasicMotionEncoder(name="encoder")(flow, corr)
+        motion = self.encoder(flow, corr)
         gru_in = jnp.concatenate([inp, motion], axis=-1)
-        net = SepConvGRU(self.hidden_dim, name="gru")(net, gru_in)
-        delta_flow = FlowHead(256, name="flow_head")(net)
-        m = nn.relu(tconv(256, (3, 3), name="mask_conv1")(net))
-        mask = 0.25 * tconv(64 * 9, (1, 1), name="mask_conv2")(m)
-        return (net, coords1 + delta_flow), mask
+        net = self.gru(net, gru_in)
+        delta_flow = self.flow_head(net)
+        return (net, coords1 + delta_flow), None
 
 
 class RAFT(nn.Module):
@@ -296,6 +311,7 @@ class RAFT(nn.Module):
             split_rngs={"params": False},
             in_axes=nn.broadcast,
             length=self.iters,
+            methods=["__call__"],  # .mask() stays unscanned (see its doc)
         )(self.hidden_dim, self.corr_radius,
           spatial_axis=self.spatial_axis, spatial_shards=self.spatial_shards,
           corr_impl=self.corr_impl, corr_block=self.corr_block,
@@ -304,8 +320,8 @@ class RAFT(nn.Module):
         const = ((inp, coords0, fmap1, tuple(pyramid))
                  if self.corr_impl == "fused"
                  else (inp, coords0, tuple(pyramid)))
-        (net, coords1), masks = scanned((net, coords1), const)
-        up_mask = masks[-1]
+        (net, coords1), _ = scanned((net, coords1), const)
+        up_mask = scanned.mask(net)
 
         flow_lr = coords1 - coords0
         flow_up = upsample_flow_convex(flow_lr, up_mask)
