@@ -47,6 +47,8 @@ class LBFGSState(NamedTuple):
     n_iter: jnp.ndarray     # () int32 — total iterations executed
     done: jnp.ndarray       # () bool — break latch for the current segment
     last_step_max: jnp.ndarray  # () max|t·d| of the last applied update
+    gram_sy: jnp.ndarray    # (m, m) SᵀY in ring order (compact direction)
+    gram_yy: jnp.ndarray    # (m, m) YᵀY in ring order (compact direction)
 
 
 def lbfgs_init(x0: jnp.ndarray, history_size: int = 100,
@@ -74,6 +76,11 @@ def lbfgs_init(x0: jnp.ndarray, history_size: int = 100,
         n_iter=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False),
         last_step_max=jnp.asarray(jnp.inf, x0.dtype),
+        # Gram matrices of the history pairs, maintained incrementally (one
+        # row+column per push) so the compact direction never has to re-read
+        # the full (m, n) buffers to rebuild them. 80 KB at m=100 — free.
+        gram_sy=jnp.zeros((history_size, history_size), x0.dtype),
+        gram_yy=jnp.zeros((history_size, history_size), x0.dtype),
     )
 
 
@@ -137,6 +144,35 @@ def _compact_direction(
     The (m,n) buffers stay in ring order; only (m,)/(m,m) operands are
     permuted to chronological order for the triangular structure.
     """
+    f32 = grad.dtype
+    # fp32 accumulation targets: the buffers may be stored in bf16
+    gram_sy = jnp.dot(s_buf, y_buf.T, preferred_element_type=f32)  # SᵀY
+    gram_yy = jnp.dot(y_buf, y_buf.T, preferred_element_type=f32)  # YᵀY
+    sg = jnp.dot(s_buf, grad, preferred_element_type=f32)          # Sᵀg
+    yg = jnp.dot(y_buf, grad, preferred_element_type=f32)          # Yᵀg
+    return _compact_solve(grad, y_buf, s_buf, gram_sy, gram_yy, sg, yg,
+                          h_diag, count)
+
+
+def _compact_solve(
+    grad: jnp.ndarray,
+    y_buf: jnp.ndarray,
+    s_buf: jnp.ndarray,
+    gram_sy: jnp.ndarray,
+    gram_yy: jnp.ndarray,
+    sg: jnp.ndarray,
+    yg: jnp.ndarray,
+    h_diag: jnp.ndarray,
+    count: jnp.ndarray,
+) -> jnp.ndarray:
+    """Compact-representation direction from precomputed history products.
+
+    All inputs involving the (m, n) buffers — the Gram matrices SᵀY/YᵀY and
+    the projections Sᵀg/Yᵀg — arrive precomputed (the iteration maintains the
+    Grams incrementally and fuses the projections into one streaming pass per
+    buffer), so this function touches the big buffers only in the final
+    two-vector reconstruction: exactly two (m,)@(m,n) streams per call.
+    """
     m = y_buf.shape[0]
     num_valid = jnp.minimum(count, m)
     start = jnp.where(count < m, 0, jnp.mod(count, m))
@@ -146,12 +182,6 @@ def _compact_direction(
 
     gamma = h_diag
     f32 = grad.dtype
-    # fp32 accumulation targets: the buffers may be stored in bf16
-    gram_sy = jnp.dot(s_buf, y_buf.T, preferred_element_type=f32)  # SᵀY
-    gram_yy = jnp.dot(y_buf, y_buf.T, preferred_element_type=f32)  # YᵀY
-    sg = jnp.dot(s_buf, grad, preferred_element_type=f32)          # Sᵀg
-    yg = jnp.dot(y_buf, grad, preferred_element_type=f32)          # Yᵀg
-
     sy = gram_sy[perm][:, perm]
     yy = gram_yy[perm][:, perm]
     p1 = jnp.where(valid, sg[perm], 0.0)
@@ -231,8 +261,35 @@ def lbfgs_iteration(
     count = jnp.where(push, state.count + 1, state.count)
     h_diag = jnp.where(push, ys / jnp.dot(y, y), state.h_diag)
 
+    gram_sy, gram_yy = state.gram_sy, state.gram_yy
     if direction == "compact":
-        d_hist = _compact_direction(grad, y_buf, s_buf, h_diag, count)
+        # One fused streaming pass per (m, n) buffer computes EVERY product
+        # the compact direction needs this iteration: the g-projections
+        # (Sᵀg, Yᵀg) and the new Gram row/column (S·y_new, Y·y_new, Y·s_new).
+        # The Gram matrices themselves are carried in the state and only the
+        # pushed slot's row+column change — vs. rebuilding SᵀY/YᵀY from the
+        # buffers (two full (m,n)@(n,m) re-reads) plus two separate matvec
+        # passes every iteration. RHS columns are cast to the history dtype
+        # so a bf16 history never silently promotes the big operand
+        # (bf16-history mode already rounds y/s the same way; fp32 history
+        # keeps this path exact).
+        rhs = jnp.stack([grad, y, s], axis=1).astype(hdt)     # (n, 3)
+        f32 = grad.dtype
+        prods_s = jnp.dot(s_buf, rhs, preferred_element_type=f32)  # (m, 3)
+        prods_y = jnp.dot(y_buf, rhs, preferred_element_type=f32)  # (m, 3)
+        sg, yg = prods_s[:, 0], prods_y[:, 0]
+        # gram_sy[i, j] = s_i·y_j → column idx = S@y_new, row idx = Y@s_new;
+        # gram_yy is symmetric: row = column = Y@y_new.
+        gram_sy = gram_sy.at[:, idx].set(
+            jnp.where(push, prods_s[:, 1], gram_sy[:, idx]))
+        gram_sy = gram_sy.at[idx, :].set(
+            jnp.where(push, prods_y[:, 2], gram_sy[idx, :]))
+        gram_yy = gram_yy.at[:, idx].set(
+            jnp.where(push, prods_y[:, 1], gram_yy[:, idx]))
+        gram_yy = gram_yy.at[idx, :].set(
+            jnp.where(push, prods_y[:, 1], gram_yy[idx, :]))
+        d_hist = _compact_solve(grad, y_buf, s_buf, gram_sy, gram_yy,
+                                sg, yg, h_diag, count)
     else:
         d_hist = _two_loop(grad, y_buf, s_buf, ro_buf, h_diag, count)
     d = jnp.where(first, -grad, d_hist)
@@ -264,6 +321,8 @@ def lbfgs_iteration(
         n_iter=sel(state.n_iter + 1, state.n_iter),
         done=done | pre_break,
         last_step_max=sel(last_step_max, state.last_step_max),
+        gram_sy=gram_sy,  # updates already gated on push (~done)
+        gram_yy=gram_yy,
     )
     return new_state, loss
 

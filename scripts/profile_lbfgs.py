@@ -31,6 +31,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="376x1248")
     ap.add_argument("--history", type=int, default=100)
+    ap.add_argument("--hdtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="history ring-buffer dtype (bench default: bfloat16)")
     args = ap.parse_args()
     H, W = (int(v) for v in args.size.split("x"))
 
@@ -53,13 +56,14 @@ def main():
     rng = np.random.default_rng(0)
 
     # a filled, wrapped ring buffer with valid curvature pairs
-    state = lbfgs_init(jnp.zeros((n,), jnp.float32), m)
+    hdt = jnp.dtype(args.hdtype)
+    state = lbfgs_init(jnp.zeros((n,), jnp.float32), m, history_dtype=hdt)
     y = rng.standard_normal((m, n)).astype(np.float32) * 1e-3
     s = y * rng.uniform(0.5, 2.0, (m, 1)).astype(np.float32)  # y·s > 0
     ys = np.sum(y * s, axis=1)
     state = state._replace(
-        y_buf=jnp.asarray(y),
-        s_buf=jnp.asarray(s),
+        y_buf=jnp.asarray(y, hdt),
+        s_buf=jnp.asarray(s, hdt),
         ro_buf=jnp.asarray(1.0 / ys),
         h_diag=jnp.asarray(ys[-1] / np.sum(y[-1] * y[-1]), jnp.float32),
         count=jnp.asarray(m + 7, jnp.int32),  # wrapped
@@ -68,6 +72,9 @@ def main():
         prev_loss=jnp.asarray(1.0, jnp.float32),
         t=jnp.asarray(1.0, jnp.float32),
         d=jnp.asarray(rng.standard_normal(n).astype(np.float32) * 1e-3),
+        # incremental-compact path reads the Grams from state
+        gram_sy=jnp.asarray(s @ y.T),
+        gram_yy=jnp.asarray(y @ y.T),
     )
     g = jnp.asarray(rng.standard_normal(n).astype(np.float32))
 
@@ -100,6 +107,44 @@ def main():
             cheap_vag, st, jnp.asarray(5), direction=d)[0].x)
         print(f"lbfgs iteration [{direction:8s}] (full history): "
               f"{fenced(it, state)*1e3:8.1f} ms")
+
+    # --- in-scan cost (donated state, slope-timed): what the attack pays ---
+    # A single jitted iteration copies the (m, n) ring buffers on every
+    # .at[idx].set (no donation); inside the attack the whole optimization is
+    # one scan with donated carry, so row writes are in place. Chain K
+    # iterations per device call and report the K-slope.
+    def chain(direction, k):
+        def body(st, j):
+            st, loss = lbfgs_iteration(cheap_vag, st, jnp.mod(j, 10),
+                                       direction=direction)
+            return st, loss
+        f = jax.jit(
+            lambda st, k=k: jax.lax.scan(
+                body, st, jnp.arange(k, dtype=jnp.int32))[0],
+            donate_argnums=0,
+        )
+        def run(st):
+            out = f(st)
+            _ = float(out.prev_loss)  # fence with a scalar fetch
+            return out
+        return run
+
+    for direction in ("two_loop", "compact"):
+        k_lo, k_hi = 3, 13
+        ts = {}
+        for k in (k_lo, k_hi):
+            run = chain(direction, k)
+            run(jax.tree.map(jnp.copy, state))  # compile
+            best = float("inf")
+            for _ in range(3):
+                st = jax.tree.map(jnp.copy, state)
+                t0 = time.perf_counter()
+                run(st)
+                best = min(best, time.perf_counter() - t0)
+            ts[k] = best
+        slope = (ts[k_hi] - ts[k_lo]) / (k_hi - k_lo)
+        print(f"lbfgs in-scan  [{direction:8s}] (full history): "
+              f"{slope*1e3:8.1f} ms/iteration (donated, slope-timed)")
 
 
 if __name__ == "__main__":
