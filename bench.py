@@ -22,7 +22,7 @@ stack's best-under-bound deviations vs fp32-highest: aee_adv_tgt_min
   * bf16 network compute + storage   (PCFA_COMPUTE_DTYPE=float32 opts out)
   * bf16 matmul operand precision    (PCFA_MATMUL_PRECISION=highest opts out)
   * bf16 L-BFGS curvature history    (PCFA_LBFGS_DTYPE=float32 opts out)
-  * 2 pairs vmapped per chip, remat  (--batch 1 opts out)
+  * 2 pairs vmapped per chip, NO remat (fits at bf16; --batch 1 opts out)
 
 Env knobs: PCFA_BENCH_PRESET=smoke → tiny shapes/steps for CI smoke runs.
 """
@@ -337,8 +337,9 @@ def main():
                     "HBM: fp32 L-BFGS state is 2.25 GB/pair), else 1.")
     ap.add_argument("--remat", choices=["auto", "on", "off", "policy"],
                     default="auto",
-                    help="rematerialize refinement iterations (auto: on for "
-                    "--batch>1 at fp32; bf16 activations may fit without)")
+                    help="rematerialize refinement iterations (auto: on only "
+                    "for --batch>2; batch<=2 bf16 activations fit in HBM "
+                    "and run ~10%% faster without recompute)")
     ap.add_argument("--chunk", type=int, default=0,
                     help="outer steps fused per device dispatch (lax.scan); "
                     "0 = one dispatch per outer step. Larger chunks amortize "
@@ -413,9 +414,12 @@ def main():
           f"corr={args.corr_impl}", file=sys.stderr)
     if args.net in ("RAFT", "GMA", "RAFT-small"):
         if args.remat in ("on", "policy") or (
-                args.remat == "auto" and args.batch > 1):
-            # batched pairs: trade recompute for activation memory (without
-            # remat, batch 2 exceeds HBM even at bf16 — measured 19.3 GB)
+                args.remat == "auto" and args.batch > 2):
+            # batch>2: trade recompute for activation memory. batch=2
+            # no longer needs remat — the round-1 "19.3 GB at bf16" OOM
+            # predates bf16 compute dtype, the mask-head hoist and the
+            # compact L-BFGS state; measured remat-off batch=2 fits and
+            # runs 236.6x vs 215.8x with remat (v5e, 2026-08-18).
             overrides["remat"] = True
         if args.remat == "policy":
             # keep matmul/conv outputs resident, recompute only elementwise

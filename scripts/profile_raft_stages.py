@@ -124,9 +124,9 @@ def main():
     it_f = jax.jit(lambda p, c, k: body.apply({"params": p}, c, k))
 
     def it_loss(c, p, k):
-        (n2, c2), mask = body.apply({"params": p}, c, k)
-        return (jnp.sum(n2.astype(jnp.float32) ** 2) + jnp.sum(c2 ** 2)
-                + jnp.sum(mask.astype(jnp.float32) ** 2))
+        # mask head is hoisted out of the scan body (returns ys=None)
+        (n2, c2), _ = body.apply({"params": p}, c, k)
+        return jnp.sum(n2.astype(jnp.float32) ** 2) + jnp.sum(c2 ** 2)
 
     it_g = jax.jit(jax.grad(it_loss))
     t_f = fenced(it_f, bparams, carry, const)
