@@ -137,9 +137,15 @@ def upsample_flow_convex(flow: jnp.ndarray, mask: jnp.ndarray, factor: int = 8):
         axis=3,
     )  # (B, H, W, 9, 2) — k row-major like F.unfold
 
-    up = jnp.einsum(
-        "bhwkij,bhwkc->bhwijc", mask, neighbors,
-        precision=jax.lax.Precision.HIGHEST,
+    # convex combination as a broadcast multiply-reduce, NOT an einsum: as a
+    # batched matmul this contracts k=9 with outputs (i·j=64)×(c=2) — both
+    # get padded to 128 lanes on the MXU (measured 10.2 ms of the closure in
+    # profile_base2). The elementwise form runs on the VPU, fuses into the
+    # softmax, and keeps fp32 flow math bit-comparable.
+    up = jnp.sum(
+        mask[..., None].astype(neighbors.dtype)
+        * neighbors[:, :, :, :, None, None, :],
+        axis=3,
     )
     up = up.transpose(0, 1, 3, 2, 4, 5)  # (B, H, i, W, j, C)
     return up.reshape(B, f * H, f * W, 2)
