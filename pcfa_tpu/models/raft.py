@@ -141,10 +141,13 @@ def upsample_flow_convex(flow: jnp.ndarray, mask: jnp.ndarray, factor: int = 8):
     # batched matmul this contracts k=9 with outputs (i·j=64)×(c=2) — both
     # get padded to 128 lanes on the MXU (measured 10.2 ms of the closure in
     # profile_base2). The elementwise form runs on the VPU, fuses into the
-    # softmax, and keeps fp32 flow math bit-comparable.
+    # softmax, and keeps fp32 flow math bit-comparable. Compute in the wider
+    # of the two dtypes so a bf16 mask never downcasts fp32 flow (and vice
+    # versa) — the flow carry is fp32 by contract, the mask may be bf16.
+    out_dtype = jnp.promote_types(mask.dtype, neighbors.dtype)
     up = jnp.sum(
-        mask[..., None].astype(neighbors.dtype)
-        * neighbors[:, :, :, :, None, None, :],
+        mask[..., None].astype(out_dtype)
+        * neighbors[:, :, :, :, None, None, :].astype(out_dtype),
         axis=3,
     )
     up = up.transpose(0, 1, 3, 2, 4, 5)  # (B, H, i, W, j, C)

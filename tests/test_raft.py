@@ -184,3 +184,47 @@ def test_raft_small_matches_reference():
         np.transpose(np.asarray(up), (0, 3, 1, 2)), up_t.numpy(),
         rtol=1e-3, atol=1e-3,
     )
+
+
+def test_upsample_convex_vpu_matches_einsum():
+    """Pin the VPU multiply-reduce `upsample_flow_convex` to the reference
+    einsum formulation (`raft.py:72-83` semantics): identical math, only the
+    lowering differs. Covers fp32 and the bf16-mask/fp32-flow mixed case the
+    bf16 compute stack produces (ADVICE r2: promotion must go UP to fp32)."""
+    from pcfa_tpu.models.raft import upsample_flow_convex
+
+    rng = np.random.default_rng(7)
+    B, H8, W8, f = 2, 6, 9, 8
+    flow = jnp.asarray(rng.standard_normal((B, H8, W8, 2)), jnp.float32)
+    mask_logits = jnp.asarray(
+        rng.standard_normal((B, H8, W8, 9 * f * f)), jnp.float32)
+
+    def einsum_form(flow, mask):
+        m = jax.nn.softmax(
+            mask.reshape(B, H8, W8, 9, f, f).astype(jnp.float32), axis=3)
+        fp = jnp.pad(f * flow.astype(jnp.float32),
+                     ((0, 0), (1, 1), (1, 1), (0, 0)))
+        nb = jnp.stack(
+            [jax.lax.dynamic_slice(fp, (0, dy, dx, 0), (B, H8, W8, 2))
+             for dy in range(3) for dx in range(3)], axis=3)
+        up = jnp.einsum("bhwkij,bhwkc->bhwijc", m, nb,
+                        precision=jax.lax.Precision.HIGHEST)
+        return up.transpose(0, 1, 3, 2, 4, 5).reshape(B, f * H8, f * W8, 2)
+
+    ref = einsum_form(flow, mask_logits)
+
+    got_fp32 = upsample_flow_convex(flow, mask_logits, f)
+    assert got_fp32.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got_fp32), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+    # bf16 mask (compute-dtype stack) + fp32 flow carry: result must be fp32
+    # and match the fp32 reference to bf16 resolution — the mask must not
+    # drag the convex combination down to bf16
+    got_mixed = upsample_flow_convex(flow, mask_logits.astype(jnp.bfloat16), f)
+    assert got_mixed.dtype == jnp.float32
+    # absolute tolerance on the ~8-scale flow signal (bf16 logit rounding
+    # shifts softmax weights ~0.4% → ~0.07 abs here; relative error is
+    # meaningless at the flow's zero crossings)
+    np.testing.assert_allclose(np.asarray(got_mixed), np.asarray(ref),
+                               rtol=0, atol=0.15)

@@ -118,3 +118,41 @@ def test_mlflow_branch_with_stub(tmp_path, monkeypatch):
     run_dir = t.folder_path
     assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
     assert os.path.exists(os.path.join(run_dir, "params.json"))
+
+
+def test_mlflow_branch_existing_experiment(tmp_path, monkeypatch):
+    """The `create_experiment` already-exists path (`tracking.py:86-88`,
+    mirroring `helper_functions/logging.py:187-191`): a raising
+    create_experiment must not abort the run — the tracker falls through to
+    `get_experiment_by_name` and starts the run in the existing experiment."""
+    import types
+
+    import pcfa_tpu.utils.tracking as tr
+    from pcfa_tpu.utils.tracking import Tracker
+
+    calls = []
+
+    def _raise(name):
+        calls.append(("create", name))
+        raise RuntimeError("experiment already exists")
+
+    stub = types.SimpleNamespace(
+        create_experiment=_raise,
+        get_experiment_by_name=lambda name: types.SimpleNamespace(
+            experiment_id="exp7"),
+        start_run=lambda experiment_id, run_name: (
+            calls.append(("start", experiment_id, run_name)) or
+            types.SimpleNamespace(info=types.SimpleNamespace(run_id="r2"))
+        ),
+        end_run=lambda: calls.append(("end",)),
+        log_param=lambda key, value: None,
+        log_metric=lambda key, value, step: None,
+        log_artifact=lambda fp: None,
+    )
+    monkeypatch.setattr(tr, "mlflow", stub)
+
+    with Tracker(str(tmp_path), "GMA", "FGSM", True, True, stage="eval") as t:
+        assert t.experiment_name == "GMA_FGSM_cd_u_eval"
+
+    assert [c[0] for c in calls] == ["create", "start", "end"]
+    assert calls[1][1] == "exp7"  # run started in the EXISTING experiment
