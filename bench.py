@@ -345,12 +345,13 @@ def main():
                     "0 = one dispatch per outer step. Larger chunks amortize "
                     "the per-dispatch overhead of tunneled backends but "
                     "raise per-program runtime (tunnel watchdog).")
-    ap.add_argument("--corr-impl", default="materialized",
-                    choices=["materialized", "fused"],
+    ap.add_argument("--corr-impl", default="auto",
+                    choices=["auto", "materialized", "fused"],
                     help="RAFT/GMA correlation: 'fused' never materializes "
                     "the O(N^2) volume (blockwise rebuild per lookup) — "
                     "the memory lever for --size beyond KITTI or larger "
-                    "--batch")
+                    "--batch; 'auto' (default) materializes while the "
+                    "pyramid fits PCFA_CORR_HBM_BUDGET_MB, fuses beyond")
     ap.add_argument("--corr-block", type=int, default=1024,
                     help="query-block size for --corr-impl=fused")
     ap.add_argument("--net", default="RAFT",
@@ -405,7 +406,7 @@ def main():
     overrides = ({"iters": raft_iters}
                  if raft_iters and args.net in ("RAFT", "GMA", "RAFT-small")
                  else {})
-    if args.corr_impl != "materialized":
+    if args.net in ("RAFT", "GMA"):  # RAFT-small is always materialized
         overrides.update(corr_impl=args.corr_impl,
                          corr_block=args.corr_block)
     if args.batch == 0:

@@ -36,11 +36,11 @@ from pcfa_tpu.models.raft import (
     upsample_flow_convex,
 )
 from pcfa_tpu.ops.correlation import (
-    allpairs_correlation,
     corr_lookup_fused,
     corr_lookup_mm,
-    corr_pyramid,
+    corr_pyramid_pooled,
     f2_feature_pyramid,
+    resolve_corr_impl,
 )
 from pcfa_tpu.ops.warp import coords_grid
 
@@ -255,8 +255,9 @@ class GMA(nn.Module):
     #: the correlation volume and the global attention matrix
     spatial_axis: str | None = None
     spatial_shards: int = 1
-    #: 'fused' = blockwise volume-free correlation (see models/raft.py)
-    corr_impl: str = "materialized"
+    #: 'fused' = blockwise volume-free correlation (see models/raft.py);
+    #: 'auto' (default) picks per static shape via `resolve_corr_impl`
+    corr_impl: str = "auto"
     corr_block: int = 1024
 
     @nn.compact
@@ -268,18 +269,21 @@ class GMA(nn.Module):
         fmaps = fnet(jnp.concatenate([x1, x2], axis=0))
         fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
 
-        if self.corr_impl == "fused":
+        corr_impl = resolve_corr_impl(
+            self.corr_impl, fmap1.shape, fmap2.shape, self.corr_levels,
+            fmap1.dtype, self.spatial_shards,
+        )
+        if corr_impl == "fused":
             pyramid = f2_feature_pyramid(fmap2, self.corr_levels)
-            corr_vol = None
         elif self.spatial_axis is not None:
             hs = fmap1.shape[1] // self.spatial_shards
             r0 = jax.lax.axis_index(self.spatial_axis) * hs
             f1_loc = jax.lax.dynamic_slice_in_dim(fmap1, r0, hs, axis=1)
-            corr_vol = allpairs_correlation(f1_loc, fmap2)
-            pyramid = corr_pyramid(corr_vol, self.corr_levels)
+            # per-level pooled-f2 construction (NOT volume pooling): kills
+            # the one-time dpyramid→dvolume unpool backward chain
+            pyramid = corr_pyramid_pooled(f1_loc, fmap2, self.corr_levels)
         else:
-            corr_vol = allpairs_correlation(fmap1, fmap2)
-            pyramid = corr_pyramid(corr_vol, self.corr_levels)
+            pyramid = corr_pyramid_pooled(fmap1, fmap2, self.corr_levels)
 
         cnet = BasicEncoder(output_dim=self.hidden_dim + self.context_dim,
                             norm_fn="batch", name="cnet")(x1)
@@ -303,8 +307,8 @@ class GMA(nn.Module):
         if self.spatial_axis is not None:
             # per-iteration all_gathers make the carries device-varying;
             # seed that variance into the initial carry (vma consistency)
-            if corr_vol is not None:
-                seed = 0.0 * corr_vol.reshape(-1)[0]
+            if corr_impl != "fused":
+                seed = 0.0 * pyramid[0].reshape(-1)[0].astype(net.dtype)
             else:
                 seed = 0.0 * jax.lax.axis_index(self.spatial_axis).astype(
                     net.dtype)
@@ -321,11 +325,11 @@ class GMA(nn.Module):
             methods=["__call__"],  # .mask() stays unscanned
         )(self.hidden_dim, self.corr_radius, self.num_heads,
           spatial_axis=self.spatial_axis, spatial_shards=self.spatial_shards,
-          corr_impl=self.corr_impl, corr_block=self.corr_block,
+          corr_impl=corr_impl, corr_block=self.corr_block,
           name="update_block")
 
         const = ((inp, coords0, attention, fmap1, tuple(pyramid))
-                 if self.corr_impl == "fused"
+                 if corr_impl == "fused"
                  else (inp, coords0, attention, tuple(pyramid)))
         (net, coords1), _ = scanned((net, coords1), const)
         up_mask = scanned.mask(net)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from pcfa_tpu.models.layers import SmallEncoder, tconv
 from pcfa_tpu.models.raft import _remat_body
-from pcfa_tpu.ops.correlation import allpairs_correlation, corr_lookup_mm, corr_pyramid
+from pcfa_tpu.ops.correlation import corr_lookup_mm, corr_pyramid_pooled
 from pcfa_tpu.ops.warp import coords_grid, upflow
 
 
@@ -96,9 +96,8 @@ class RAFTSmall(nn.Module):
         fmaps = fnet(jnp.concatenate([x1, x2], axis=0))
         fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
 
-        pyramid = corr_pyramid(
-            allpairs_correlation(fmap1, fmap2), self.corr_levels
-        )
+        # per-level pooled-f2 construction — see corr_pyramid_pooled
+        pyramid = corr_pyramid_pooled(fmap1, fmap2, self.corr_levels)
 
         cnet = SmallEncoder(output_dim=self.hidden_dim + self.context_dim,
                             norm_fn="none", name="cnet")(x1)

@@ -10,6 +10,8 @@ from pcfa_tpu.ops.warp import (
 from pcfa_tpu.ops.correlation import (
     allpairs_correlation,
     corr_pyramid,
+    corr_pyramid_pooled,
+    resolve_corr_impl,
     corr_lookup,
     corr_lookup_mm,
     local_correlation,
@@ -27,6 +29,8 @@ __all__ = [
     "resample2d",
     "allpairs_correlation",
     "corr_pyramid",
+    "corr_pyramid_pooled",
+    "resolve_corr_impl",
     "corr_lookup",
     "corr_lookup_mm",
     "local_correlation",

@@ -59,6 +59,85 @@ def corr_pyramid(corr: jnp.ndarray, num_levels: int = 4) -> list[jnp.ndarray]:
     return pyramid
 
 
+def resolve_corr_impl(
+    impl: str,
+    fmap1_shape: tuple,
+    fmap2_shape: tuple,
+    num_levels: int,
+    dtype,
+    spatial_shards: int = 1,
+) -> str:
+    """Resolve `corr_impl='auto'` → 'materialized' | 'fused' (trace-time).
+
+    The reference leaves this choice to a build flag (`alt_cuda_corr`
+    installed or not, `raft/corr.py:63-91`); here it is a static per-shape
+    policy: materialize the pyramid when its forward+cotangent footprint
+    fits an HBM budget (default 4 GiB, `PCFA_CORR_HBM_BUDGET_MB`), else run
+    the blockwise volume-free lookup. Shapes are static under jit, so the
+    decision costs nothing at runtime. At KITTI size (bf16, batch 2) the
+    estimate is ~0.6 GB → materialized (the faster path, BASELINE.md);
+    at 2× KITTI (752×2496) it is ~9 GB → fused (the only path that fits
+    v5e HBM)."""
+    if impl != "auto":
+        return impl
+    import os
+
+    budget = int(os.environ.get("PCFA_CORR_HBM_BUDGET_MB", "4096")) << 20
+    B, H1, W1, _ = fmap1_shape
+    _, H2, W2, _ = fmap2_shape
+    pyr_elems = 0
+    h, w = H2, W2
+    for _ in range(num_levels):
+        pyr_elems += h * w
+        h, w = max(h // 2, 1), max(w // 2, 1)
+    itemsize = jnp.dtype(dtype).itemsize
+    # forward pyramid + backward cotangent buffers ≈ 2× the pyramid; under
+    # spatial sharding each device holds only its f1 row shard
+    est = 2 * B * (H1 * W1 // max(spatial_shards, 1)) * pyr_elems * itemsize
+    return "materialized" if est <= budget else "fused"
+
+
+def corr_pyramid_pooled(
+    fmap1: jnp.ndarray, fmap2: jnp.ndarray, num_levels: int = 4
+) -> list[jnp.ndarray]:
+    """Correlation pyramid built per-level from POOLED f2 features.
+
+    Average-pooling the (H2, W2) axes of the all-pairs volume commutes with
+    the channel dot product, so level l equals a direct correlation against
+    `avgpool²ˡ(f2)` — the same identity `alt_cuda_corr` uses
+    (`raft/corr.py:63-91`) and `f2_feature_pyramid` exploits for the fused
+    path. Same output list as
+    `corr_pyramid(allpairs_correlation(f1, f2), L)` (exact up to fp
+    association), but the autodiff graph is radically cheaper on TPU: the
+    volume-pooling form backpropagates through a dpyramid → unpool →
+    dvolume → dfmap chain over O(N²) buffers (measured ~47 ms one-time in
+    the RAFT closure, BASELINE.md round-2 dissection); here every level's
+    cotangent feeds two MXU matmuls directly (df1 += dcmapₗ @ f2ₗ,
+    df2ₗ = dcmapₗᵀ @ f1) and the remaining pooling backward runs over the
+    tiny O(N·C) feature maps. Forward cost rises only by the pooled-level
+    matmuls (Σ 1/4ˡ ≈ 1.33× of level 0) — pure MXU work.
+
+    fmap1: (B, H1, W1, C); fmap2: (B, H2, W2, C) → list of
+    (B·H1·W1, H2/2ˡ, W2/2ˡ, 1), level-0-first, ready for `corr_lookup_mm`.
+    """
+    B, H1, W1, C = fmap1.shape
+    f1 = fmap1.reshape(B, H1 * W1, C)
+    inv_sqrt_c = jnp.asarray(1.0, fmap1.dtype) / jnp.sqrt(
+        jnp.asarray(C, dtype=fmap1.dtype)
+    )
+    pyramid = []
+    f2_l = fmap2
+    for _ in range(num_levels):
+        _, H2, W2, _ = f2_l.shape
+        cmap = jnp.einsum(
+            "bnc,bmc->bnm", f1, f2_l.reshape(B, H2 * W2, C),
+            precision=jax.lax.Precision.HIGHEST,
+        ) * inv_sqrt_c
+        pyramid.append(cmap.reshape(B * H1 * W1, H2, W2, 1))
+        f2_l = avg_pool2d(f2_l, 2, 2)
+    return pyramid
+
+
 def corr_lookup(
     pyramid: list[jnp.ndarray], coords: jnp.ndarray, radius: int = 4
 ) -> jnp.ndarray:

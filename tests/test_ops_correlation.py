@@ -130,6 +130,61 @@ def test_corr_lookup_mm_equals_gather(rng):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4)
 
 
+def test_corr_pyramid_pooled_matches_volume_pooling(rng):
+    """Per-level pooled-f2 pyramid == avg-pooling the all-pairs volume
+    (linearity of pooling in the channel dot), values AND both feature
+    gradients — the backward path is the whole point: the pooled form
+    replaces the dpyramid→dvolume unpool chain with direct MXU matmuls."""
+    import jax
+
+    B, H, W, C, L = 2, 16, 24, 32, 4
+    f1 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+
+    ref = correlation.corr_pyramid(correlation.allpairs_correlation(f1, f2), L)
+    pooled = correlation.corr_pyramid_pooled(f1, f2, L)
+    assert len(pooled) == L
+    for a, b in zip(ref, pooled):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    def loss_ref(a, b):
+        pyr = correlation.corr_pyramid(correlation.allpairs_correlation(a, b), L)
+        return sum(jnp.sum(jnp.sin(p)) for p in pyr)
+
+    def loss_pooled(a, b):
+        return sum(jnp.sum(jnp.sin(p))
+                   for p in correlation.corr_pyramid_pooled(a, b, L))
+
+    ga = jax.grad(loss_ref, argnums=(0, 1))(f1, f2)
+    gb = jax.grad(loss_pooled, argnums=(0, 1))(f1, f2)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4)
+
+
+def test_resolve_corr_impl_policy(monkeypatch):
+    """'auto' → materialized while the pyramid + cotangents fit the HBM
+    budget, fused beyond; explicit choices pass through untouched."""
+    monkeypatch.delenv("PCFA_CORR_HBM_BUDGET_MB", raising=False)
+    kitti = (2, 47, 156, 256)   # KITTI/8 feature map, bench batch
+    twox = (2, 94, 312, 256)    # 2× KITTI — must pick fused (v5e HBM)
+    for explicit in ("materialized", "fused"):
+        assert correlation.resolve_corr_impl(
+            explicit, twox, twox, 4, jnp.bfloat16) == explicit
+    assert correlation.resolve_corr_impl(
+        "auto", kitti, kitti, 4, jnp.bfloat16) == "materialized"
+    assert correlation.resolve_corr_impl(
+        "auto", twox, twox, 4, jnp.bfloat16) == "fused"
+    # spatial sharding divides the per-device footprint
+    assert correlation.resolve_corr_impl(
+        "auto", twox, twox, 4, jnp.bfloat16, spatial_shards=8
+    ) == "materialized"
+    # budget knob
+    monkeypatch.setenv("PCFA_CORR_HBM_BUDGET_MB", "1")
+    assert correlation.resolve_corr_impl(
+        "auto", kitti, kitti, 4, jnp.bfloat16) == "fused"
+
+
 def test_corr_lookup_fused_matches_materialized(rng):
     """The non-materializing blockwise lookup (alt_cuda_corr analog,
     SURVEY.md §5 flagship) == volume + pyramid + mm lookup: values and all
