@@ -36,41 +36,85 @@ class FrozenBatchNorm(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, nhcw: bool = False) -> jnp.ndarray:
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if nhcw:
+            return x * scale[:, None] + bias[:, None]
         return x * scale + bias
 
 
-def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    """torch `nn.InstanceNorm2d` (affine=False, eval == train) on NHWC."""
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.var(x, axis=(1, 2), keepdims=True)
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5,
+                  nhcw: bool = False) -> jnp.ndarray:
+    """torch `nn.InstanceNorm2d` (affine=False, eval == train); NHWC or
+    NHCW (channel axis 2) layout."""
+    axes = (1, 3) if nhcw else (1, 2)
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.var(x, axis=axes, keepdims=True)
     return (x - mean) / jnp.sqrt(var + eps)
 
 
-def make_norm(norm_fn: str, features: int, name: str):
+def make_norm(norm_fn: str, features: int, name: str, nhcw: bool = False):
     """Returns a callable applying the requested normalization."""
     if norm_fn == "batch":
         bn = FrozenBatchNorm(features, name=name)
-        return bn
+        return (lambda x: bn(x, nhcw=True)) if nhcw else bn
     if norm_fn == "instance":
-        return instance_norm
+        return (lambda x: instance_norm(x, nhcw=True)) if nhcw \
+            else instance_norm
     if norm_fn == "none":
         return lambda x: x
     raise ValueError(f"unsupported norm_fn: {norm_fn}")
 
 
+class PConv(nn.Module):
+    """3×3 SAME conv on NHCW operands through the shifted-slab Pallas
+    kernel (`ops/pallas/small_conv.py`). Param tree identical to `nn.Conv`
+    (kernel HWIO + bias), so checkpoints are layout-agnostic.
+
+    Why: XLA pads BOTH channel axes of an NHWC conv to 128 lanes, so the
+    encoders' 64-channel layer1 runs at ~25% MXU utilization (the round-2
+    base-cost dissection's biggest remaining item, BASELINE.md). The
+    kernel's block-Toeplitz plan for C=64/k=3 packs TWO output rows per
+    matmul → K = M = 128, full tiles."""
+
+    features: int
+    ksize: int = 3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c_in = x.shape[2]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.ksize, self.ksize, c_in, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        from pcfa_tpu.ops.pallas.small_conv import small_conv2d
+
+        return small_conv2d(x.astype(kernel.dtype), kernel, bias, None)
+
+
 class ResidualBlock(nn.Module):
     """`extractor.py:6-56`: two 3×3 convs + norm + ReLU, optional strided
-    downsample shortcut (1×1 conv + norm)."""
+    downsample shortcut (1×1 conv + norm).
+
+    `nhcw=True` (stride-1 blocks only): operands stay in the Pallas NHCW
+    layout end-to-end — convs via `PConv`, norms on channel axis 2."""
 
     planes: int
     norm_fn: str = "instance"
     stride: int = 1
+    nhcw: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.nhcw:
+            assert self.stride == 1, "NHCW residual path is stride-1 only"
+            y = PConv(self.planes, name="conv1")(x)
+            y = nn.relu(make_norm(self.norm_fn, self.planes, "norm1",
+                                  nhcw=True)(y))
+            y = PConv(self.planes, name="conv2")(y)
+            y = nn.relu(make_norm(self.norm_fn, self.planes, "norm2",
+                                  nhcw=True)(y))
+            return nn.relu(x + y)
         y = tconv(self.planes, (3, 3), strides=self.stride, name="conv1")(x)
         y = nn.relu(make_norm(self.norm_fn, self.planes, "norm1")(y))
         y = tconv(self.planes, (3, 3), name="conv2")(y)
@@ -94,6 +138,17 @@ def _stem_pallas_default() -> bool:
             and jax.default_backend() == "tpu")
 
 
+def _encoder_nhcw_default() -> bool:
+    # layer1 (64-ch, stride-1) through the Pallas NHCW path; see PConv.
+    # PCFA_PALLAS_ENCODER=0 opts out independently of the stem knob.
+    import os
+
+    import jax
+
+    return (os.environ.get("PCFA_PALLAS_ENCODER", "1") == "1"
+            and jax.default_backend() == "tpu")
+
+
 class StemConv(nn.Module):
     """The encoders' 7×7/2 RGB stem as a shifted-slab Pallas conv on TPU
     (3 input channels → XLA pads to 128 lanes; see
@@ -102,7 +157,8 @@ class StemConv(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 nhcw_out: bool = False) -> jnp.ndarray:
         c_in = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (7, 7, c_in, self.features))
@@ -113,13 +169,14 @@ class StemConv(nn.Module):
 
             out = small_conv2d(x.transpose(0, 1, 3, 2).astype(kernel.dtype),
                                kernel, bias, None, 2)
-            return out.transpose(0, 1, 3, 2)
+            return out if nhcw_out else out.transpose(0, 1, 3, 2)
         import jax
 
-        return jax.lax.conv_general_dilated(
+        out = jax.lax.conv_general_dilated(
             x, kernel, window_strides=(2, 2), padding=((3, 3), (3, 3)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ) + bias
+        return out.transpose(0, 1, 3, 2) if nhcw_out else out
 
 
 class BasicEncoder(nn.Module):
@@ -131,9 +188,19 @@ class BasicEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = StemConv(64, name="conv1")(x)
-        x = nn.relu(make_norm(self.norm_fn, 64, "norm1")(x))
-        for i, (dim, stride) in enumerate(((64, 1), (96, 2), (128, 2)), 1):
+        # layer1 runs in the Pallas NHCW layout on TPU (64 channels = half a
+        # lane tile under XLA — the round-2 dissection's biggest remaining
+        # encoder cost). One transpose back before the strided stages, whose
+        # 96/128 channels XLA already tiles well.
+        nhcw = (_encoder_nhcw_default() and x.shape[1] % 4 == 0
+                and x.shape[2] % 2 == 0)
+        x = StemConv(64, name="conv1")(x, nhcw_out=nhcw)
+        x = nn.relu(make_norm(self.norm_fn, 64, "norm1", nhcw=nhcw)(x))
+        x = ResidualBlock(64, self.norm_fn, 1, nhcw=nhcw, name="layer1_0")(x)
+        x = ResidualBlock(64, self.norm_fn, 1, nhcw=nhcw, name="layer1_1")(x)
+        if nhcw:
+            x = x.transpose(0, 1, 3, 2)
+        for i, (dim, stride) in enumerate(((96, 2), (128, 2)), 2):
             x = ResidualBlock(dim, self.norm_fn, stride, name=f"layer{i}_0")(x)
             x = ResidualBlock(dim, self.norm_fn, 1, name=f"layer{i}_1")(x)
         return tconv(self.output_dim, (1, 1), name="conv2")(x)

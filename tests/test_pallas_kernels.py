@@ -221,6 +221,36 @@ def test_basic_encoder_stem_pallas_matches_xla(rng, monkeypatch):
                                atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("norm_fn", ["instance", "batch"])
+def test_basic_encoder_nhcw_layer1_matches_nhwc(rng, monkeypatch, norm_fn):
+    """BasicEncoder with the Pallas NHCW layer1 path (PConv residual blocks,
+    norms on channel axis 2) == the NHWC branch, forward AND input-grad."""
+    import pcfa_tpu.models.layers as ly
+    import pcfa_tpu.ops.pallas.small_conv as m
+
+    orig = m._forward
+    monkeypatch.setattr(
+        m, "_forward",
+        lambda x, k, b, act, interpret=True, plan=None, stride=1: orig(
+            x, k, b, act, interpret=True, stride=stride),
+    )
+    x = jnp.asarray(rng.random((1, 32, 48, 3)), jnp.float32)
+    enc = ly.BasicEncoder(output_dim=64, norm_fn=norm_fn)
+    params = enc.init(jax.random.PRNGKey(0), x)["params"]
+
+    def loss(p, xx):
+        return jnp.sum(jnp.sin(enc.apply({"params": p}, xx)))
+
+    ref, gref = jax.value_and_grad(loss, argnums=1)(params, x)
+    monkeypatch.setattr(ly, "_stem_pallas_default", lambda: True)
+    monkeypatch.setattr(ly, "_encoder_nhcw_default", lambda: True)
+    out, gout = jax.value_and_grad(loss, argnums=1)(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gout), np.asarray(gref),
+                               atol=2e-4, rtol=1e-3)
+
+
 def test_pwcnet_pallas_conv_branch_matches_xla(rng, monkeypatch):
     """PWCNet with the Pallas ConvLeaky branch (interpret) == XLA branch."""
     import pcfa_tpu.models.pwcnet as pw
