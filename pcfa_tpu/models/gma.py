@@ -37,7 +37,7 @@ from pcfa_tpu.models.raft import (
 )
 from pcfa_tpu.ops.correlation import (
     corr_lookup_fused,
-    corr_lookup_mm,
+    corr_lookup_window,
     corr_pyramid_pooled,
     f2_feature_pyramid,
     resolve_corr_impl,
@@ -216,7 +216,7 @@ class GMAScanBody(nn.Module):
                     f1_loc, list(pyramid), c_loc, self.corr_radius,
                     self.corr_block)
             else:
-                corr_loc = corr_lookup_mm(list(pyramid), c_loc,
+                corr_loc = corr_lookup_window(list(pyramid), c_loc,
                                           self.corr_radius)
             corr = jax.lax.all_gather(corr_loc, self.spatial_axis,
                                       axis=1, tiled=True)
@@ -224,7 +224,7 @@ class GMAScanBody(nn.Module):
             corr = corr_lookup_fused(fmap1, list(pyramid), coords1,
                                      self.corr_radius, self.corr_block)
         else:
-            corr = corr_lookup_mm(list(pyramid), coords1, self.corr_radius)
+            corr = corr_lookup_window(list(pyramid), coords1, self.corr_radius)
         flow = coords1 - coords0
         # keep bf16 compute dtypes from being promoted by the fp32 coords
         corr, flow = corr.astype(net.dtype), flow.astype(net.dtype)

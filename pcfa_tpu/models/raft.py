@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from pcfa_tpu.models.layers import BasicEncoder, tconv
 from pcfa_tpu.ops.correlation import (
     corr_lookup_fused,
-    corr_lookup_mm,
+    corr_lookup_window,
     corr_pyramid_pooled,
     f2_feature_pyramid,
     resolve_corr_impl,
@@ -212,7 +212,7 @@ class RAFTScanBody(nn.Module):
                     f1_loc, list(pyramid), c_loc, self.corr_radius,
                     self.corr_block)
             else:
-                corr_loc = corr_lookup_mm(list(pyramid), c_loc,
+                corr_loc = corr_lookup_window(list(pyramid), c_loc,
                                           self.corr_radius)
             corr = jax.lax.all_gather(corr_loc, self.spatial_axis,
                                       axis=1, tiled=True)
@@ -220,7 +220,7 @@ class RAFTScanBody(nn.Module):
             corr = corr_lookup_fused(fmap1, list(pyramid), coords1,
                                      self.corr_radius, self.corr_block)
         else:
-            corr = corr_lookup_mm(list(pyramid), coords1, self.corr_radius)
+            corr = corr_lookup_window(list(pyramid), coords1, self.corr_radius)
         flow = coords1 - coords0
         # coords stay fp32 (pixel positions); under a bf16 compute dtype the
         # network features must not be silently promoted back to fp32

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from pcfa_tpu.models.layers import SmallEncoder, tconv
 from pcfa_tpu.models.raft import _remat_body
-from pcfa_tpu.ops.correlation import corr_lookup_mm, corr_pyramid_pooled
+from pcfa_tpu.ops.correlation import corr_lookup_window, corr_pyramid_pooled
 from pcfa_tpu.ops.warp import coords_grid, upflow
 
 
@@ -62,7 +62,7 @@ class SmallScanBody(nn.Module):
         net, coords1 = carry
         inp, coords0, pyramid = const
         coords1 = jax.lax.stop_gradient(coords1)
-        corr = corr_lookup_mm(list(pyramid), coords1, self.corr_radius)
+        corr = corr_lookup_window(list(pyramid), coords1, self.corr_radius)
         flow = coords1 - coords0
         # keep bf16 compute dtypes from being promoted by the fp32 coords
         corr, flow = corr.astype(net.dtype), flow.astype(net.dtype)

@@ -13,7 +13,9 @@ from pcfa_tpu.ops.correlation import (
     corr_pyramid_pooled,
     resolve_corr_impl,
     corr_lookup,
+    corr_lookup_gather,
     corr_lookup_mm,
+    corr_lookup_window,
     local_correlation,
     global_correlation,
 )
@@ -32,7 +34,9 @@ __all__ = [
     "corr_pyramid_pooled",
     "resolve_corr_impl",
     "corr_lookup",
+    "corr_lookup_gather",
     "corr_lookup_mm",
+    "corr_lookup_window",
     "local_correlation",
     "global_correlation",
     "channel_norm",

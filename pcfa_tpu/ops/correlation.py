@@ -219,6 +219,86 @@ def corr_lookup_mm(
     return jnp.concatenate(out_pyramid, axis=-1)
 
 
+def corr_lookup_gather(
+    pyramid: list[jnp.ndarray], coords: jnp.ndarray, radius: int = 4
+) -> jnp.ndarray:
+    """`corr_lookup_mm` re-formulated as flat row gathers + VPU blends.
+
+    The separable-matmul lookup keeps every byte on the MXU, but its tiles
+    are tiny (M = 2r+1 = 9 rows against 128-lane tiles → <1% utilization;
+    measured 7.8 ms fwd+bwd per RAFT iteration at KITTI size, ~80% of the
+    iteration). This form exploits that all (2r+1)² window samples of one
+    query share a single fractional offset (the window offsets are
+    integers): per query it gathers the P+1 = 2r+2 full correlation-map
+    rows the window can touch — ONE flat gather of (1, W2) row slices, the
+    contiguous-minor-dim shape TPU gathers vectorize (the packed-corner
+    warp lesson, `ops/warp.py`) — then blends vertically, transposes the
+    small slab, gathers the P+1 column slices, and blends horizontally.
+    Zero padding outside the map is folded into the blend weights (masked
+    hat weights), matching `corr_lookup`/`corr_lookup_mm` exactly.
+
+    Identical output layout to `corr_lookup_mm` (x gets the first offset
+    axis — the reference's transposed-window quirk `raft/corr.py:37-43`).
+    Differentiable through the gathers (VJP = row scatter-adds); coords are
+    `stop_gradient`ed by every caller (raft.py:123 semantics).
+    """
+    r = radius
+    P = 2 * r + 1
+    B, H1, W1, _ = coords.shape
+    N = B * H1 * W1
+    u = jnp.arange(P + 1, dtype=jnp.int32)
+
+    out_pyramid = []
+    for i, corr in enumerate(pyramid):
+        _, H2, W2, _ = corr.shape
+        cmap = corr.reshape(N, H2, W2)
+        c = coords.reshape(N, 2).astype(jnp.float32) / 2**i
+        ix0f = jnp.floor(c[:, 0])
+        iy0f = jnp.floor(c[:, 1])
+        fx = (c[:, 0] - ix0f).astype(cmap.dtype)[:, None, None]
+        fy = (c[:, 1] - iy0f).astype(cmap.dtype)[:, None, None]
+        ix0 = ix0f.astype(jnp.int32)
+        iy0 = iy0f.astype(jnp.int32)
+
+        rows = iy0[:, None] - r + u[None]                      # (N, P+1)
+        mv = ((rows >= 0) & (rows < H2)).astype(cmap.dtype)[:, :, None]
+        slab = jnp.take_along_axis(
+            cmap, jnp.clip(rows, 0, H2 - 1)[:, :, None], axis=1
+        )                                                      # (N, P+1, W2)
+        vrow = ((1 - fy) * mv[:, :P]) * slab[:, :P] \
+            + (fy * mv[:, 1:]) * slab[:, 1:]                   # (N, P, W2)
+
+        cols = ix0[:, None] - r + u[None]                      # (N, P+1)
+        mh = ((cols >= 0) & (cols < W2)).astype(cmap.dtype)[:, :, None]
+        vrt = vrow.transpose(0, 2, 1)                          # (N, W2, P)
+        wslab = jnp.take_along_axis(
+            vrt, jnp.clip(cols, 0, W2 - 1)[:, :, None], axis=1
+        )                                                      # (N, P+1, P)
+        win = ((1 - fx) * mh[:, :P]) * wslab[:, :P] \
+            + (fx * mh[:, 1:]) * wslab[:, 1:]                  # (N, a, b)
+        out_pyramid.append(win.reshape(B, H1, W1, P * P))
+    return jnp.concatenate(out_pyramid, axis=-1)
+
+
+def corr_lookup_window(
+    pyramid: list[jnp.ndarray], coords: jnp.ndarray, radius: int = 4
+) -> jnp.ndarray:
+    """Dispatch the materialized-pyramid window lookup implementation.
+
+    `PCFA_CORR_LOOKUP` ∈ {'mm', 'gather'} (default 'mm'). Measured on v5e
+    (KITTI size, bf16): mm 4.3/7.8 ms fwd / fwd+bwd per iteration vs
+    gather 15.0/33.6 — XLA lowers even full-row (1, W2) take_along_axis
+    gathers ~3.5× slower than the separable matmuls despite the matmuls'
+    M=9 tile padding, and the scatter-add VJP is worse. The gather form
+    stays as a parity-tested ablation."""
+    import os
+
+    impl = os.environ.get("PCFA_CORR_LOOKUP", "mm")
+    if impl == "mm":
+        return corr_lookup_mm(pyramid, coords, radius)
+    return corr_lookup_gather(pyramid, coords, radius)
+
+
 def f2_feature_pyramid(fmap2: jnp.ndarray, num_levels: int = 4) -> list[jnp.ndarray]:
     """Pooled FEATURE pyramid for the fused (non-materializing) corr path.
 

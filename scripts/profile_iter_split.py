@@ -56,6 +56,7 @@ def main():
     from pcfa_tpu.ops.correlation import (
         allpairs_correlation,
         corr_lookup_mm,
+        corr_lookup_window,
         corr_pyramid,
     )
     from pcfa_tpu.ops.warp import coords_grid
@@ -78,26 +79,27 @@ def main():
     coords0 = jnp.tile(coords_grid(1, H8, W8), (B, 1, 1, 1))
 
     # --- lookup forward: chain via coords (tiny carry), pyr as args --------
-    look = jax.jit(lambda c, *p: corr_lookup_mm(list(p), c))
+    look = jax.jit(lambda c, *p: corr_lookup_window(list(p), c))
 
     def lstep(c):
         out = look(c, *pyr)
         return c + 1e-6 * jnp.mean(out.astype(jnp.float32)) * 0 + 1e-3
 
     ms = slope_ms(lstep, coords0 + 0.37, n_lo, n_hi)
-    print(f"{'corr_lookup_mm fwd':30s} {ms:8.1f} ms/call")
+    _impl = os.environ.get("PCFA_CORR_LOOKUP", "gather")
+    print(f"{'corr_lookup ' + _impl + ' fwd':30s} {ms:8.1f} ms/call")
 
     # --- lookup fwd+bwd wrt pyramid (what the closure's backward does) -----
     lg = jax.jit(jax.grad(
         lambda p0, c, rest: jnp.sum(
-            corr_lookup_mm([p0, *rest], c).astype(jnp.float32) ** 2)))
+            corr_lookup_window([p0, *rest], c).astype(jnp.float32) ** 2)))
 
     def lgstep(p0):
         return (p0 + 1e-6 * lg(p0, coords0 + 0.37, list(pyr[1:]))
                 .astype(p0.dtype))
 
     ms = slope_ms(lgstep, pyr[0], n_lo, n_hi)
-    print(f"{'corr_lookup_mm fwd+bwd':30s} {ms:8.1f} ms/call")
+    print(f"{'corr_lookup ' + _impl + ' fwd+bwd':30s} {ms:8.1f} ms/call")
 
     # --- GRU/heads block (everything after the lookup) ---------------------
     class Tail(nn.Module):

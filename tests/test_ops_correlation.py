@@ -130,6 +130,55 @@ def test_corr_lookup_mm_equals_gather(rng):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4)
 
 
+def test_corr_lookup_gather_matches_mm(rng):
+    """Flat-gather lookup (corr_lookup_gather, the TPU default via
+    corr_lookup_window) == the separable-matmul form: values and
+    pyramid-gradients, including far-out-of-range and exactly-integer
+    coords, fp32 and bf16 maps."""
+    import jax
+
+    f1 = jnp.asarray(rng.standard_normal((2, 16, 24, 32)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((2, 16, 24, 32)), jnp.float32)
+    pyr = correlation.corr_pyramid(correlation.allpairs_correlation(f1, f2), 4)
+    coords = jnp.asarray(rng.uniform(-6, 30, (2, 16, 24, 2)), jnp.float32)
+    # exercise exact-integer and boundary samples explicitly
+    coords = coords.at[0, 0, 0].set(jnp.asarray([0.0, 0.0]))
+    coords = coords.at[0, 0, 1].set(jnp.asarray([23.0, 15.0]))
+    coords = coords.at[0, 1, 0].set(jnp.asarray([-40.0, 100.0]))
+
+    a = correlation.corr_lookup_mm(pyr, coords, 4)
+    b = correlation.corr_lookup_gather(pyr, coords, 4)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    ga = jax.grad(
+        lambda p: jnp.sum(correlation.corr_lookup_mm(p, coords, 4) ** 2))(pyr)
+    gb = jax.grad(
+        lambda p: jnp.sum(correlation.corr_lookup_gather(p, coords, 4) ** 2))(
+            pyr)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4)
+
+    # bf16 maps (the bench compute dtype): blends stay in the map dtype
+    pyr16 = [lvl.astype(jnp.bfloat16) for lvl in pyr]
+    a16 = correlation.corr_lookup_mm(pyr16, coords, 4)
+    b16 = correlation.corr_lookup_gather(pyr16, coords, 4)
+    assert b16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(a16, np.float32),
+                               np.asarray(b16, np.float32),
+                               atol=0.05, rtol=0.05)
+
+
+def test_corr_lookup_window_dispatch(monkeypatch):
+    """PCFA_CORR_LOOKUP selects the implementation."""
+    pyr = [jnp.ones((4, 8, 8, 1), jnp.float32)]
+    coords = jnp.full((1, 2, 2, 2), 3.2, jnp.float32)
+    monkeypatch.setenv("PCFA_CORR_LOOKUP", "mm")
+    a = correlation.corr_lookup_window(pyr, coords, 2)
+    monkeypatch.setenv("PCFA_CORR_LOOKUP", "gather")
+    b = correlation.corr_lookup_window(pyr, coords, 2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_corr_pyramid_pooled_matches_volume_pooling(rng):
     """Per-level pooled-f2 pyramid == avg-pooling the all-pairs volume
     (linearity of pooling in the channel dot), values AND both feature
