@@ -285,15 +285,23 @@ def corr_lookup_window(
 ) -> jnp.ndarray:
     """Dispatch the materialized-pyramid window lookup implementation.
 
-    `PCFA_CORR_LOOKUP` ∈ {'mm', 'gather'} (default 'mm'). Measured on v5e
-    (KITTI size, bf16): mm 4.3/7.8 ms fwd / fwd+bwd per iteration vs
-    gather 15.0/33.6 — XLA lowers even full-row (1, W2) take_along_axis
-    gathers ~3.5× slower than the separable matmuls despite the matmuls'
-    M=9 tile padding, and the scatter-add VJP is worse. The gather form
-    stays as a parity-tested ablation."""
+    `PCFA_CORR_LOOKUP` ∈ {'mm', 'pallas', 'gather'}; default 'mm' on CPU,
+    'pallas' on TPU. Measured on v5e (KITTI size, bf16), fwd / fwd+bwd per
+    iteration: mm 4.3/7.8 (separable matmuls, M=9 tile padding), gather
+    15.0/33.6 (take_along_axis rows — even full-row slices lose 3.5×),
+    pallas = the vertical step as a per-query dynamic sublane slice+blend
+    on VMEM blocks (`ops/pallas/corr_lookup.py`). The pallas path defines
+    coords-gradients as zero (all callers stop-gradient coords)."""
     import os
 
-    impl = os.environ.get("PCFA_CORR_LOOKUP", "mm")
+    import jax
+
+    default = "pallas" if jax.default_backend() == "tpu" else "mm"
+    impl = os.environ.get("PCFA_CORR_LOOKUP", default)
+    if impl == "pallas":
+        from pcfa_tpu.ops.pallas.corr_lookup import corr_lookup_pallas
+
+        return corr_lookup_pallas(pyramid, coords, radius)
     if impl == "mm":
         return corr_lookup_mm(pyramid, coords, radius)
     return corr_lookup_gather(pyramid, coords, radius)

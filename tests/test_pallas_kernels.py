@@ -251,6 +251,77 @@ def test_basic_encoder_nhcw_layer1_matches_nhwc(rng, monkeypatch, norm_fn):
                                atol=2e-4, rtol=1e-3)
 
 
+def test_corr_lookup_pallas_matches_mm(rng):
+    """Pallas vertical slice+blend lookup (interpret) == corr_lookup_mm:
+    values + pyramid gradients, OOB and integer coords, fp32 and bf16."""
+    from pcfa_tpu.ops import correlation
+    from pcfa_tpu.ops.pallas.corr_lookup import corr_lookup_pallas
+
+    f1 = jnp.asarray(rng.standard_normal((2, 16, 24, 32)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((2, 16, 24, 32)), jnp.float32)
+    pyr = correlation.corr_pyramid(
+        correlation.allpairs_correlation(f1, f2), 4)
+    coords = jnp.asarray(rng.uniform(-6, 30, (2, 16, 24, 2)), jnp.float32)
+    coords = coords.at[0, 0, 0].set(jnp.asarray([0.0, 0.0]))
+    coords = coords.at[0, 0, 1].set(jnp.asarray([23.0, 15.0]))
+    coords = coords.at[0, 1, 0].set(jnp.asarray([-40.0, 100.0]))
+
+    a = correlation.corr_lookup_mm(pyr, coords, 4)
+    b = corr_lookup_pallas(pyr, coords, 4, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    ga = jax.grad(
+        lambda p: jnp.sum(correlation.corr_lookup_mm(p, coords, 4) ** 2))(
+            pyr)
+    gb = jax.grad(
+        lambda p: jnp.sum(
+            corr_lookup_pallas(p, coords, 4, interpret=True) ** 2))(pyr)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4)
+
+    pyr16 = [lvl.astype(jnp.bfloat16) for lvl in pyr]
+    a16 = correlation.corr_lookup_mm(pyr16, coords, 4)
+    b16 = corr_lookup_pallas(pyr16, coords, 4, interpret=True)
+    assert b16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(a16, np.float32),
+                               np.asarray(b16, np.float32),
+                               atol=0.05, rtol=0.05)
+
+
+def test_raft_with_pallas_lookup_matches_mm(rng, monkeypatch):
+    """Full RAFT forward + input-grad with PCFA_CORR_LOOKUP=pallas
+    (interpret) == the mm lookup path."""
+    import functools
+
+    import pcfa_tpu.ops.pallas.corr_lookup as cl
+    from pcfa_tpu.models import make_model
+
+    model, _ = make_model("RAFT", iters=2)
+    x1 = jnp.asarray(rng.random((1, 64, 96, 3)), jnp.float32)
+    x2 = jnp.asarray(rng.random((1, 64, 96, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x1, x2)["params"]
+
+    def loss(a):
+        out = model.apply({"params": params}, a, x2)
+        f = out[-1] if isinstance(out, (tuple, list)) else out
+        return jnp.sum(f ** 2)
+
+    monkeypatch.setenv("PCFA_CORR_LOOKUP", "mm")
+    ref, gref = jax.value_and_grad(loss)(x1)
+    monkeypatch.setattr(
+        cl, "corr_lookup_pallas",
+        functools.partial(cl.corr_lookup_pallas.__wrapped__, interpret=True)
+        if hasattr(cl.corr_lookup_pallas, "__wrapped__")
+        else functools.partial(cl.corr_lookup_pallas, interpret=True))
+    monkeypatch.setenv("PCFA_CORR_LOOKUP", "pallas")
+    out, gout = jax.value_and_grad(loss)(x1)
+    np.testing.assert_allclose(float(ref), float(out), rtol=1e-4)
+    # grads reach O(1e3); deviations measured at ~1e-6 of the grad scale
+    # (fp association through the 2-iteration recurrence)
+    np.testing.assert_allclose(np.asarray(gout), np.asarray(gref),
+                               atol=1e-2, rtol=1e-3)
+
+
 def test_pwcnet_pallas_conv_branch_matches_xla(rng, monkeypatch):
     """PWCNet with the Pallas ConvLeaky branch (interpret) == XLA branch."""
     import pcfa_tpu.models.pwcnet as pw
