@@ -157,7 +157,12 @@ class PWCDCNet(nn.Module):
             use_pallas = jax.default_backend() == "tpu"
 
         def correlate(a, b):
-            if use_pallas:
+            # bf16-only: at fp32 the kernel's ≤16 MB output gets placed in
+            # scoped VMEM and double-buffered past the chipless-AOT limit
+            # (measured: f32[1,96,320,81] → "Scoped allocation 16.66M
+            # exceeded limit"; same failure class as the small_conv fp32
+            # strided transpose, ops/pallas/small_conv.py)
+            if use_pallas and a.dtype == jnp.bfloat16:
                 from pcfa_tpu.ops.pallas import local_correlation_pallas
 
                 return _leaky(local_correlation_pallas(a, b, patch))

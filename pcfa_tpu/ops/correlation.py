@@ -285,19 +285,18 @@ def corr_lookup_window(
 ) -> jnp.ndarray:
     """Dispatch the materialized-pyramid window lookup implementation.
 
-    `PCFA_CORR_LOOKUP` ∈ {'mm', 'pallas', 'gather'}; default 'mm' on CPU,
-    'pallas' on TPU. Measured on v5e (KITTI size, bf16), fwd / fwd+bwd per
-    iteration: mm 4.3/7.8 (separable matmuls, M=9 tile padding), gather
-    15.0/33.6 (take_along_axis rows — even full-row slices lose 3.5×),
-    pallas = the vertical step as a per-query dynamic sublane slice+blend
-    on VMEM blocks (`ops/pallas/corr_lookup.py`). The pallas path defines
-    coords-gradients as zero (all callers stop-gradient coords)."""
+    `PCFA_CORR_LOOKUP` ∈ {'mm', 'pallas', 'gather'}, default 'mm' — every
+    alternative measured SLOWER on v5e (KITTI size, bf16, fwd / fwd+bwd
+    per iteration): mm 4.3/7.8 (separable matmuls; M=9 tile padding is
+    ugly but everything stays on the MXU), gather 15.0/33.6
+    (take_along_axis rows — even full-row (1, W2) slices lose 3.5×),
+    pallas 8.9/14.2 (`ops/pallas/corr_lookup.py`: per-query dynamic
+    sublane slice+blend — the 14.7k-iteration scalar loop costs ~570
+    cycles/query and cannot be vectorized across queries because Mosaic
+    rotates are per-plane). Both stay as parity-tested ablations."""
     import os
 
-    import jax
-
-    default = "pallas" if jax.default_backend() == "tpu" else "mm"
-    impl = os.environ.get("PCFA_CORR_LOOKUP", default)
+    impl = os.environ.get("PCFA_CORR_LOOKUP", "mm")
     if impl == "pallas":
         from pcfa_tpu.ops.pallas.corr_lookup import corr_lookup_pallas
 

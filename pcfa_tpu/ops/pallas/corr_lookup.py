@@ -19,7 +19,8 @@ the first einsum of `corr_lookup_mm` (tmp[n, b, :] = Σ_j wy[n,b,j]·cmap).
 The horizontal step stays the existing XLA einsum (K = W2, small).
 
 Boundary semantics are mask-free by construction: the map is zero-padded
-by P+1 rows top and bottom, and the slice start is clipped into the padded
+(P+1 rows on top, _SLAB+7 below — the extra rows cover the kernel's
+8-aligned slab over-read) and the slice start is clipped into the padded
 range, so out-of-image rows read zeros — identical to the hat-weight
 masking of `corr_lookup_mm` (grid_sample zeros padding).
 
@@ -42,11 +43,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Mosaic requires dynamic sublane offsets to be provably 8-aligned: load a
+# 24-row slab at the 8-aligned floor of the window start and rotate the
+# residual (< 8) away with pltpu.roll (dynamic-shift sublane rotate).
+_SLAB = 24
+
+
 def _fwd_kernel(ys_ref, fy_ref, cmap_ref, out_ref, *, P: int, QB: int):
     def body(q, _):
         ys = ys_ref[q, 0]
         fy = fy_ref[q, 0]
-        slab = cmap_ref[q, pl.ds(ys, P + 1), :].astype(jnp.float32)
+        hi = pl.multiple_of((ys // 8) * 8, 8)
+        lo = ys - hi
+        # cast before the rotate: Mosaic's dynamic rotate is 32-bit-only
+        slab24 = cmap_ref[q, pl.ds(hi, _SLAB), :].astype(jnp.float32)
+        # roll(x, s)[i] = x[(i - s) mod n] → shift 24-lo puts row ys at 0
+        slab = pltpu.roll(slab24, (_SLAB - lo) % _SLAB, axis=0)[:P + 1]
         out_ref[q] = ((1.0 - fy) * slab[:P] + fy * slab[1:]).astype(
             out_ref.dtype)
         return 0
@@ -60,12 +72,17 @@ def _bwd_kernel(ys_ref, fy_ref, g_ref, dcmap_ref, *, P: int, QB: int):
     def body(q, _):
         ys = ys_ref[q, 0]
         fy = fy_ref[q, 0]
+        hi = pl.multiple_of((ys // 8) * 8, 8)
+        lo = ys - hi
         g = g_ref[q].astype(jnp.float32)  # (P, W2)
-        zrow = jnp.zeros_like(g[:1])
+        zpad = jnp.zeros((_SLAB - P - 1,) + g.shape[1:], jnp.float32)
+        zrow = zpad[:1]
         # d_slab[u] = (1-fy)·g[u] + fy·g[u-1],  u ∈ [0, P]
-        d_slab = (1.0 - fy) * jnp.concatenate([g, zrow], axis=0) \
-            + fy * jnp.concatenate([zrow, g], axis=0)
-        dcmap_ref[q, pl.ds(ys, P + 1), :] = d_slab.astype(dcmap_ref.dtype)
+        d_slab = (1.0 - fy) * jnp.concatenate([g, zrow, zpad], axis=0) \
+            + fy * jnp.concatenate([zrow, g, zpad], axis=0)  # (24, W2)
+        # rotate the window down to rows lo..lo+P; wrapped rows are zeros
+        buf = pltpu.roll(d_slab, lo, axis=0)
+        dcmap_ref[q, pl.ds(hi, _SLAB), :] = buf.astype(dcmap_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, QB, body, 0)
@@ -82,9 +99,11 @@ def _pad_args(cmap: jnp.ndarray, cy: jnp.ndarray, radius: int,
     y0 = jnp.floor(cy)
     fy = (cy - y0).astype(jnp.float32)[:, None]
     # window rows y0-r … y0-r+P; starts clipped so fully-out windows land
-    # entirely in the zero padding (identical to masked hat weights)
+    # entirely in the zero padding (identical to masked hat weights). The
+    # bottom padding also covers the kernel's 8-aligned _SLAB over-read
+    # (hi ≤ ys ≤ H2+pad, hi+_SLAB ≤ Hp).
     ys = (jnp.clip(y0.astype(jnp.int32) - radius, -pad, H2) + pad)[:, None]
-    cmap_p = jnp.pad(cmap, ((0, npad), (pad, pad), (0, 0)))
+    cmap_p = jnp.pad(cmap, ((0, npad), (pad, _SLAB + 7), (0, 0)))
     ys = jnp.pad(ys, ((0, npad), (0, 0)))
     fy = jnp.pad(fy, ((0, npad), (0, 0)))
     return cmap_p, ys, fy, npad
@@ -105,7 +124,7 @@ def _vslice_fwd_impl(cmap, cy, radius, qb, interpret):
     P = 2 * radius + 1
     N, H2, W2 = cmap.shape
     cmap_p, ys, fy, npad = _pad_args(cmap, cy, radius, qb)
-    Hp = H2 + 2 * (P + 1)
+    Hp = H2 + (P + 1) + _SLAB + 7
     grid = (N + npad) // qb
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, P=P, QB=qb),
@@ -141,7 +160,7 @@ def _vslice_bwd(radius, qb, interpret, res, g):
     ys = jnp.pad(ys, ((0, npad), (0, 0)))
     fy = jnp.pad(fy, ((0, npad), (0, 0)))
     gp = jnp.pad(g, ((0, npad), (0, 0), (0, 0)))
-    Hp = H2 + 2 * pad
+    Hp = H2 + pad + _SLAB + 7
     grid = (N + npad) // qb
     dcmap_p = pl.pallas_call(
         functools.partial(_bwd_kernel, P=P, QB=qb),

@@ -86,7 +86,7 @@ def main():
         return c + 1e-6 * jnp.mean(out.astype(jnp.float32)) * 0 + 1e-3
 
     ms = slope_ms(lstep, coords0 + 0.37, n_lo, n_hi)
-    _impl = os.environ.get("PCFA_CORR_LOOKUP", "gather")
+    _impl = os.environ.get("PCFA_CORR_LOOKUP", "mm")
     print(f"{'corr_lookup ' + _impl + ' fwd':30s} {ms:8.1f} ms/call")
 
     # --- lookup fwd+bwd wrt pyramid (what the closure's backward does) -----
