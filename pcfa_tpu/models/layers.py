@@ -187,22 +187,32 @@ class BasicEncoder(nn.Module):
     norm_fn: str = "instance"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 depth: int | None = None) -> jnp.ndarray:
         # layer1 runs in the Pallas NHCW layout on TPU (64 channels = half a
         # lane tile under XLA — the round-2 dissection's biggest remaining
         # encoder cost). One transpose back before the strided stages, whose
         # 96/128 channels XLA already tiles well.
+        # `depth` truncates the stage chain (1=stem..5=full) — profiling
+        # hook only (scripts/profile_encoder.py); apply() with the full
+        # param tree tolerates the unused tail.
         nhcw = (_encoder_nhcw_default() and x.shape[1] % 4 == 0
                 and x.shape[2] % 2 == 0)
         x = StemConv(64, name="conv1")(x, nhcw_out=nhcw)
         x = nn.relu(make_norm(self.norm_fn, 64, "norm1", nhcw=nhcw)(x))
+        if depth == 1:
+            return x.transpose(0, 1, 3, 2) if nhcw else x
         x = ResidualBlock(64, self.norm_fn, 1, nhcw=nhcw, name="layer1_0")(x)
         x = ResidualBlock(64, self.norm_fn, 1, nhcw=nhcw, name="layer1_1")(x)
         if nhcw:
             x = x.transpose(0, 1, 3, 2)
+        if depth == 2:
+            return x
         for i, (dim, stride) in enumerate(((96, 2), (128, 2)), 2):
             x = ResidualBlock(dim, self.norm_fn, stride, name=f"layer{i}_0")(x)
             x = ResidualBlock(dim, self.norm_fn, 1, name=f"layer{i}_1")(x)
+            if depth == i + 1:
+                return x
         return tconv(self.output_dim, (1, 1), name="conv2")(x)
 
 
