@@ -271,6 +271,55 @@ def _fwd(x, kernel, bias, act, stride):
     return out, (x, kernel, save_out)
 
 
+def _dx_im2col_adjoint(g: jnp.ndarray, kernel: jnp.ndarray, H: int,
+                       W: int, s: int) -> jnp.ndarray:
+    """Strided-conv input gradient as ONE well-shaped MXU matmul + tap adds.
+
+    The conv-transpose formulations put the tiny C_in on the matmul M axis
+    (the stem's dx has C_in = 3 → M = TH·3 rows against 128-row tiles:
+    measured 11.2 ms of the RAFT encoders' 12.5 ms stem fwd+bwd). The
+    im2col ADJOINT instead computes per forward-output pixel the full
+    k·k·C_in window cotangent with a (B·Ho·Wo, C_out) @ (C_out, k²C_in)
+    matmul — M is the huge pixel axis, K = C_out — then scatters the k²
+    taps onto the input grid with static pad-shift adds, grouped by the
+    stride-s parity class of each tap so every add lands on a dense
+    output-lattice buffer, and one transpose-reshape interleave assembles
+    dx. Pure XLA (fp32-safe — no scoped-VMEM pallas output). Gated to
+    k²·C_in ≤ 256 (the cols buffer is B·Ho·Wo·k²C_in)."""
+    k = kernel.shape[0]
+    p = k // 2
+    B, Ho, Co, Wo = g.shape
+    C = kernel.shape[2]
+    prec = (jax.lax.Precision.DEFAULT if g.dtype == jnp.bfloat16 else None)
+    wmat = kernel.reshape(k * k * C, Co).astype(g.dtype)
+    gm = g.transpose(0, 1, 3, 2).reshape(B * Ho * Wo, Co)
+    cols = jnp.dot(gm, wmat.T, precision=prec,
+                   preferred_element_type=jnp.float32)
+    cols = cols.reshape(B, Ho, Wo, k, k, C).astype(g.dtype)
+
+    # padded-input coordinate u = s·y + dy → parity py = dy % s, lattice
+    # row y + dy//s; per parity class the taps are static shifted adds.
+    # (A (C, B, YL, XL) lane-friendly accumulation layout was measured
+    # SLOWER end-to-end, 11.7 vs 9.3 ms — the extra relayouts cost more
+    # than the sublane padding they avoid.)
+    Hp, Wp = H + 2 * p, W + 2 * p
+    YL, XL = -(-Hp // s), -(-Wp // s)
+    lattice = [[jnp.zeros((B, YL, C, XL), g.dtype) for _ in range(s)]
+               for _ in range(s)]
+    for dy in range(k):
+        ay, py = dy // s, dy % s
+        for dxx in range(k):
+            ax, px = dxx // s, dxx % s
+            tap = cols[:, :, :, dy, dxx, :].transpose(0, 1, 3, 2)
+            tap = jnp.pad(tap, ((0, 0), (ay, YL - Ho - ay), (0, 0),
+                                (ax, XL - Wo - ax)))
+            lattice[py][px] = lattice[py][px] + tap
+    full = jnp.stack([jnp.stack(row, 0) for row in lattice], 0)
+    # (py, px, B, YL, C, XL) → (B, YL, py, C, XL, px) → interleave
+    dxp = full.transpose(2, 3, 0, 4, 5, 1).reshape(B, YL * s, C, XL * s)
+    return dxp[:, p:p + H, :, p:p + W]
+
+
 def _bwd(act, stride, res, g):
     x, kernel, out = res
     if act in ("relu", True):
@@ -285,6 +334,8 @@ def _bwd(act, stride, res, g):
         # dx: stride-1 SAME conv-transpose identity — same kernel, weights
         # spatially flipped and channel-transposed
         dx = _forward(g, kernel_t, zeros, None)
+    elif k * k * kernel.shape[2] <= 256:
+        dx = _dx_im2col_adjoint(g, kernel, x.shape[1], x.shape[3], stride)
     elif g.dtype == jnp.bfloat16:
         # strided conv transpose = zero-dilate g (interior padding s−1)
         # back to the input grid, then the SAME stride-1 transpose above.

@@ -140,6 +140,45 @@ def test_small_conv_pallas_gradients(rng, monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
 
 
+def test_small_conv_dx_im2col_adjoint(rng, monkeypatch):
+    """Strided dx via the im2col-adjoint matmul (k²·C_in ≤ 256 — the RAFT
+    stem class) == autodiff of the XLA conv, fp32 and bf16."""
+    import pcfa_tpu.ops.pallas.small_conv as m
+
+    orig = m._forward
+    monkeypatch.setattr(
+        m, "_forward",
+        lambda x, k, b, act, interpret=True, plan=None, stride=1: orig(
+            x, k, b, act, interpret=True, stride=stride),
+    )
+    x = jnp.asarray(rng.standard_normal((2, 16, 3, 40)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((7, 7, 3, 64)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(64), jnp.float32)
+    assert 7 * 7 * 3 <= 256  # the im2col-adjoint gate
+    g1 = jax.grad(lambda *a: jnp.sum(m.small_conv2d(*a, None, 2) ** 2),
+                  argnums=(0, 1, 2))(x, w, b)
+    g2 = jax.grad(lambda *a: jnp.sum(m.conv_reference(*a, None, stride=2)
+                                     ** 2), argnums=(0, 1, 2))(x, w, b)
+    for a, b_ in zip(g1, g2):
+        # dW reaches O(1e2); deviations are fp-association noise (~1e-6 rel)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-3, rtol=1e-3)
+
+    # bf16 + a 3x3 stride-2 case (k²C = 576 would gate off; use C_in=16)
+    x16 = jnp.asarray(rng.standard_normal((1, 8, 16, 24)), jnp.bfloat16)
+    w16 = jnp.asarray(rng.standard_normal((3, 3, 16, 32)) * 0.1,
+                      jnp.bfloat16)
+    b16 = jnp.zeros((32,), jnp.bfloat16)
+    d1 = jax.grad(lambda a: jnp.sum(
+        m.small_conv2d(a, w16, b16, None, 2).astype(jnp.float32) ** 2))(x16)
+    d2 = jax.grad(lambda a: jnp.sum(
+        m.conv_reference(a.astype(jnp.float32), w16.astype(jnp.float32),
+                         b16.astype(jnp.float32), None,
+                         stride=2) ** 2))(x16.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(d1, np.float32), np.asarray(d2),
+                               atol=0.35, rtol=0.1)
+
+
 @pytest.mark.parametrize("shape", [
     (1, 16, 6, 40, 64, 7, 2),    # FlowNetC conv1 (stride 2)
     (1, 16, 64, 40, 128, 5, 2),  # FlowNetC conv2
