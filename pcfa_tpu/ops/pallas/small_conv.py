@@ -271,6 +271,18 @@ def _fwd(x, kernel, bias, act, stride):
     return out, (x, kernel, save_out)
 
 
+def _im2col_dx_enabled() -> bool:
+    # default OFF: the adjoint wins in isolation (stem fwd+bwd 12.5 → 9.3
+    # ms slope-timed) but LOSES 10% end-to-end in the remat-off RAFT
+    # closure (bench A/B 247.4× → 223.1× — the B·Ho·Wo·k²C_in cols
+    # temporaries, ~138 MB per fnet application, pressure HBM scheduling).
+    # Measure end-to-end before flipping (the round-2 packed-warp lesson
+    # in reverse: isolated slope wins do not compose).
+    import os
+
+    return os.environ.get("PCFA_DX_IM2COL", "0") == "1"
+
+
 def _dx_im2col_adjoint(g: jnp.ndarray, kernel: jnp.ndarray, H: int,
                        W: int, s: int) -> jnp.ndarray:
     """Strided-conv input gradient as ONE well-shaped MXU matmul + tap adds.
@@ -334,7 +346,7 @@ def _bwd(act, stride, res, g):
         # dx: stride-1 SAME conv-transpose identity — same kernel, weights
         # spatially flipped and channel-transposed
         dx = _forward(g, kernel_t, zeros, None)
-    elif k * k * kernel.shape[2] <= 256:
+    elif k * k * kernel.shape[2] <= 256 and _im2col_dx_enabled():
         dx = _dx_im2col_adjoint(g, kernel, x.shape[1], x.shape[3], stride)
     elif g.dtype == jnp.bfloat16:
         # strided conv transpose = zero-dilate g (interior padding s−1)

@@ -151,10 +151,11 @@ def test_small_conv_dx_im2col_adjoint(rng, monkeypatch):
         lambda x, k, b, act, interpret=True, plan=None, stride=1: orig(
             x, k, b, act, interpret=True, stride=stride),
     )
+    monkeypatch.setenv("PCFA_DX_IM2COL", "1")  # ablation path, default off
     x = jnp.asarray(rng.standard_normal((2, 16, 3, 40)), jnp.float32)
     w = jnp.asarray(rng.standard_normal((7, 7, 3, 64)) * 0.1, jnp.float32)
     b = jnp.asarray(rng.standard_normal(64), jnp.float32)
-    assert 7 * 7 * 3 <= 256  # the im2col-adjoint gate
+    assert 7 * 7 * 3 <= 256  # the im2col-adjoint size gate
     g1 = jax.grad(lambda *a: jnp.sum(m.small_conv2d(*a, None, 2) ** 2),
                   argnums=(0, 1, 2))(x, w, b)
     g2 = jax.grad(lambda *a: jnp.sum(m.conv_reference(*a, None, stride=2)
