@@ -271,6 +271,17 @@ def _fwd(x, kernel, bias, act, stride):
     return out, (x, kernel, save_out)
 
 
+def _strided_dx_mode() -> str:
+    """'dilate' (zero-dilate g + Pallas stride-1 transpose, the long-time
+    default) or 'xla' (native conv-transpose vjp). Isolated slope timing at
+    the RAFT stem shape puts XLA at 8.4 ms vs dilate's 11.5 (BASELINE.md
+    round 3) — but the im2col-adjoint lesson says isolated dx wins can
+    invert end-to-end, so the default only flips on a bench A/B."""
+    import os
+
+    return os.environ.get("PCFA_DX_STRIDED", "dilate")
+
+
 def _im2col_dx_enabled() -> bool:
     # default OFF: the adjoint wins in isolation (stem fwd+bwd 12.5 → 9.3
     # ms slope-timed) but LOSES 10% end-to-end in the remat-off RAFT
@@ -348,7 +359,7 @@ def _bwd(act, stride, res, g):
         dx = _forward(g, kernel_t, zeros, None)
     elif k * k * kernel.shape[2] <= 256 and _im2col_dx_enabled():
         dx = _dx_im2col_adjoint(g, kernel, x.shape[1], x.shape[3], stride)
-    elif g.dtype == jnp.bfloat16:
+    elif g.dtype == jnp.bfloat16 and _strided_dx_mode() != "xla":
         # strided conv transpose = zero-dilate g (interior padding s−1)
         # back to the input grid, then the SAME stride-1 transpose above.
         # s²× redundant MACs over the zeros, but they run on this kernel's

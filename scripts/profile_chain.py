@@ -65,6 +65,39 @@ def slope_ms(step_fn, x0, n_lo=2, n_hi=12, trials=2):
     return (best[1] - best[0]) / (n_hi - n_lo) * 1e3
 
 
+def slope_ms_scan(step_fn, x0, n_lo=2, n_hi=12, trials=2):
+    """`slope_ms` with the chain expressed as `lax.scan` over a length-n
+    dummy axis: the body is compiled ONCE instead of inlined n times.
+
+    Use this for heavy step functions (whole residual stages, Pallas-kernel
+    closures): the unrolled variant's n_hi-deep HLO once wedged the tunnel's
+    remote compiler for >1 h (round 3). Scan also blocks cross-step fusion,
+    which is what a marginal-cost measurement wants anyway."""
+    import functools
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def run_n(x, n):
+        out, _ = jax.lax.scan(lambda c, _: (step_fn(c), 0.0), x,
+                              None, length=n)
+        return jnp.sum(jax.tree.leaves(out)[0].ravel()[:1])
+
+    float(run_n(x0, n_lo))  # compile both lengths (same body executable)
+    float(run_n(x0, n_hi))
+    best = []
+    for n in (n_lo, n_hi):
+        ts = []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            float(run_n(x0, n))
+            ts.append(time.perf_counter() - t0)
+        best.append(min(ts))
+    return (best[1] - best[0]) / (n_hi - n_lo) * 1e3
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="376x1248")

@@ -180,6 +180,34 @@ def test_small_conv_dx_im2col_adjoint(rng, monkeypatch):
                                atol=0.35, rtol=0.1)
 
 
+def test_small_conv_dx_strided_xla_mode(rng, monkeypatch):
+    """PCFA_DX_STRIDED=xla (native conv-transpose vjp for the bf16 strided
+    dx, bypassing the zero-dilate Pallas kernel) == autodiff of the XLA
+    conv. A/B knob for the stem-dx lever (BASELINE.md round 3)."""
+    import pcfa_tpu.ops.pallas.small_conv as m
+
+    orig = m._forward
+    monkeypatch.setattr(
+        m, "_forward",
+        lambda x, k, b, act, interpret=True, plan=None, stride=1: orig(
+            x, k, b, act, interpret=True, stride=stride),
+    )
+    monkeypatch.setenv("PCFA_DX_STRIDED", "xla")
+    x16 = jnp.asarray(rng.standard_normal((2, 16, 3, 40)), jnp.bfloat16)
+    w16 = jnp.asarray(rng.standard_normal((7, 7, 3, 64)) * 0.1,
+                      jnp.bfloat16)
+    b16 = jnp.zeros((64,), jnp.bfloat16)
+    d1 = jax.grad(lambda a: jnp.sum(
+        m.small_conv2d(a, w16, b16, "relu", 2).astype(jnp.float32) ** 2))(
+            x16)
+    d2 = jax.grad(lambda a: jnp.sum(
+        m.conv_reference(a.astype(jnp.float32), w16.astype(jnp.float32),
+                         b16.astype(jnp.float32), "relu",
+                         stride=2) ** 2))(x16.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(d1, np.float32), np.asarray(d2),
+                               atol=0.35, rtol=0.1)
+
+
 @pytest.mark.parametrize("shape", [
     (1, 16, 6, 40, 64, 7, 2),    # FlowNetC conv1 (stride 2)
     (1, 16, 64, 40, 128, 5, 2),  # FlowNetC conv2
