@@ -131,16 +131,14 @@ def test_gma_dataparallel_pth_roundtrip(tmp_path, monkeypatch):
 def test_pwcnet_statedict_wrapper_roundtrip(tmp_path, monkeypatch):
     if REF not in sys.path:
         sys.path.insert(0, REF)
-    import types
+    # Install the WORKING correlation stub shared with test_pwcnet.py —
+    # never a raising one: the reference module binds the symbol at import
+    # and sys.modules entries outlive this test, so a raising stub here
+    # broke test_pwcnet_matches_reference when the full suite ran in one
+    # process (round-3 suite failure).
+    from tests.test_pwcnet import _stub_scs
 
-    import torch.nn.functional as F
-
-    def _scs(x1, x2, kernel_size=1, patch_size=9, stride=1):
-        raise AssertionError("not called at conversion time")
-
-    mod = types.ModuleType("spatial_correlation_sampler")
-    mod.spatial_correlation_sample = _scs
-    sys.modules.setdefault("spatial_correlation_sampler", mod)
+    sys.modules.setdefault("spatial_correlation_sampler", _stub_scs())
     from models.PWCNet.PWCNet import PWCDCNet
 
     torch.manual_seed(0)
