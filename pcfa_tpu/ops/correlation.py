@@ -219,6 +219,58 @@ def corr_lookup_mm(
     return jnp.concatenate(out_pyramid, axis=-1)
 
 
+def corr_lookup_mm_rf(
+    pyramid: list[jnp.ndarray], coords: jnp.ndarray, radius: int = 4
+) -> jnp.ndarray:
+    """`corr_lookup_mm` with a per-level association order:
+    win = wy @ (cmap @ wxᵀ) on wide levels (W2 > 128), the left-first
+    (wy @ cmap) @ wxᵀ on the rest.
+
+    Same math to fp association. Why it matters: the per-query matmuls are
+    MXU-PASS-bound (M=9 burns ~93% of every 128-wide pass), so runtime
+    scales with ceil-tile pass COUNT, not FLOPs. Contracting the wide W2
+    axis first keeps the big operand's ≥2 N-tiles out of the second matmul
+    and its backward (level-0 fwd+bwd 12 → 9 passes/query); on one-tile
+    levels the right-first backward's tmp2 recompute makes it a net loss
+    (4 → 5), so those stay left-first. Measured:
+    scripts/profile_lookup_forms.py."""
+    r = radius
+    P = 2 * r + 1
+    B, H1, W1, _ = coords.shape
+    N = B * H1 * W1
+    lin = jnp.linspace(-r, r, P, dtype=coords.dtype)
+
+    out_pyramid = []
+    for i, corr in enumerate(pyramid):
+        _, H2, W2, _ = corr.shape
+        c = coords.reshape(N, 2) / 2**i
+        sx = c[:, 0:1, None] + lin[None, :, None]
+        sy = c[:, 1:2, None] + lin[None, :, None]
+        ix = jnp.arange(W2, dtype=coords.dtype)[None, None, :]
+        iy = jnp.arange(H2, dtype=coords.dtype)[None, None, :]
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx - ix))  # (N, P, W2)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy - iy))  # (N, P, H2)
+
+        cmap = corr.reshape(N, H2, W2)
+        wy = wy.astype(cmap.dtype)
+        wx = wx.astype(cmap.dtype)
+        if W2 > 128:
+            # columns first (x), then rows (y): same output layout as _mm
+            tmp = jnp.einsum("njk,nak->nja", cmap, wx,
+                             precision=jax.lax.Precision.HIGHEST)
+            win = jnp.einsum("nbj,nja->nab", wy, tmp,
+                             precision=jax.lax.Precision.HIGHEST)
+        else:
+            # small levels: one W2 lane-tile — the left-first order's
+            # backward needs no tmp2 recompute and wins (pass-count 4 vs 5)
+            tmp = jnp.einsum("nbj,njk->nbk", wy, cmap,
+                             precision=jax.lax.Precision.HIGHEST)
+            win = jnp.einsum("nak,nbk->nab", wx, tmp,
+                             precision=jax.lax.Precision.HIGHEST)
+        out_pyramid.append(win.reshape(B, H1, W1, P * P))
+    return jnp.concatenate(out_pyramid, axis=-1)
+
+
 def corr_lookup_gather(
     pyramid: list[jnp.ndarray], coords: jnp.ndarray, radius: int = 4
 ) -> jnp.ndarray:
@@ -285,22 +337,26 @@ def corr_lookup_window(
 ) -> jnp.ndarray:
     """Dispatch the materialized-pyramid window lookup implementation.
 
-    `PCFA_CORR_LOOKUP` ∈ {'mm', 'pallas', 'gather'}, default 'mm' — every
-    alternative measured SLOWER on v5e (KITTI size, bf16, fwd / fwd+bwd
-    per iteration): mm 4.3/7.8 (separable matmuls; M=9 tile padding is
-    ugly but everything stays on the MXU), gather 15.0/33.6
-    (take_along_axis rows — even full-row (1, W2) slices lose 3.5×),
-    pallas 8.9/14.2 (`ops/pallas/corr_lookup.py`: per-query dynamic
-    sublane slice+blend — the 14.7k-iteration scalar loop costs ~570
-    cycles/query and cannot be vectorized across queries because Mosaic
-    rotates are per-plane). Both stay as parity-tested ablations."""
+    `PCFA_CORR_LOOKUP` ∈ {'mm_rf', 'mm', 'pallas', 'gather'}, default
+    'mm_rf' (per-level association order — fwd+bwd 6.2 vs mm's 7.3
+    ms/lookup at KITTI size, see `corr_lookup_mm_rf`). The rest measured
+    SLOWER on v5e (KITTI size, bf16, fwd / fwd+bwd per iteration): mm
+    4.3/7.8 (left-first separable matmuls; M=9 tile padding is ugly but
+    everything stays on the MXU), gather 15.0/33.6 (take_along_axis rows —
+    even full-row (1, W2) slices lose 3.5×), pallas 8.9/14.2
+    (`ops/pallas/corr_lookup.py`: per-query dynamic sublane slice+blend —
+    the 14.7k-iteration scalar loop costs ~570 cycles/query and cannot be
+    vectorized across queries because Mosaic rotates are per-plane). All
+    stay as parity-tested ablations."""
     import os
 
-    impl = os.environ.get("PCFA_CORR_LOOKUP", "mm")
+    impl = os.environ.get("PCFA_CORR_LOOKUP", "mm_rf")
     if impl == "pallas":
         from pcfa_tpu.ops.pallas.corr_lookup import corr_lookup_pallas
 
         return corr_lookup_pallas(pyramid, coords, radius)
+    if impl == "mm_rf":
+        return corr_lookup_mm_rf(pyramid, coords, radius)
     if impl == "mm":
         return corr_lookup_mm(pyramid, coords, radius)
     return corr_lookup_gather(pyramid, coords, radius)

@@ -130,6 +130,35 @@ def test_corr_lookup_mm_equals_gather(rng):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4)
 
 
+def test_corr_lookup_mm_rf_matches_mm(rng):
+    """Per-level association order (corr_lookup_mm_rf, the TPU default via
+    corr_lookup_window) == the left-first form: values and
+    pyramid/coords-gradients. W2 = 136 > 128 so level 0 actually takes the
+    right-first branch (the narrow test shapes elsewhere never would)."""
+    import jax
+
+    f1 = jnp.asarray(rng.standard_normal((1, 8, 136, 16)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((1, 8, 136, 16)), jnp.float32)
+    pyr = correlation.corr_pyramid(correlation.allpairs_correlation(f1, f2), 4)
+    coords = jnp.asarray(rng.uniform(-4, 140, (1, 8, 136, 2)), jnp.float32)
+
+    a = correlation.corr_lookup_mm(pyr, coords, 4)
+    b = correlation.corr_lookup_mm_rf(pyr, coords, 4)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-5, rtol=1e-5)
+
+    def loss(fn):
+        def inner(p, c):
+            return jnp.sum(fn(p, c, 4) ** 2) * 1e-3
+        return jax.grad(inner, argnums=(0, 1))
+
+    ga = loss(correlation.corr_lookup_mm)(pyr, coords)
+    gb = loss(correlation.corr_lookup_mm_rf)(pyr, coords)
+    for x, y in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=1e-3, rtol=1e-3)
+
+
 def test_corr_lookup_gather_matches_mm(rng):
     """Flat-gather lookup (corr_lookup_gather, the TPU default via
     corr_lookup_window) == the separable-matmul form: values and
