@@ -76,10 +76,13 @@ class PConv(nn.Module):
     encoders' 64-channel layer1 runs at ~25% MXU utilization (the round-2
     base-cost dissection's biggest remaining item, BASELINE.md). The
     kernel's block-Toeplitz plan for C=64/k=3 packs TWO output rows per
-    matmul → K = M = 128, full tiles."""
+    matmul → K = M = 128, full tiles. When the output height doesn't fit
+    any tile plan, `small_conv2d` falls back to an XLA conv with identical
+    NHCW semantics — shape-safe at every stage."""
 
     features: int
     ksize: int = 3
+    stride: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -89,15 +92,38 @@ class PConv(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         from pcfa_tpu.ops.pallas.small_conv import small_conv2d
 
-        return small_conv2d(x.astype(kernel.dtype), kernel, bias, None)
+        return small_conv2d(x.astype(kernel.dtype), kernel, bias, None,
+                            self.stride)
+
+
+class Conv1x1(nn.Module):
+    """1×1 conv on NHCW operands (strided slice + one einsum; param tree
+    identical to `nn.Conv` with a (1, 1, C_in, F) kernel + bias). torch's
+    Conv2d(k=1, stride=s, padding=0) samples x[s·i, s·j] exactly."""
+
+    features: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c_in = x.shape[2]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, c_in, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.stride != 1:
+            x = x[:, ::self.stride, :, ::self.stride]
+        out = jnp.einsum("bhcw,co->bhow", x.astype(kernel.dtype),
+                         kernel[0, 0])
+        return out + bias.astype(out.dtype)[None, None, :, None]
 
 
 class ResidualBlock(nn.Module):
     """`extractor.py:6-56`: two 3×3 convs + norm + ReLU, optional strided
     downsample shortcut (1×1 conv + norm).
 
-    `nhcw=True` (stride-1 blocks only): operands stay in the Pallas NHCW
-    layout end-to-end — convs via `PConv`, norms on channel axis 2."""
+    `nhcw=True`: operands stay in the Pallas NHCW layout end-to-end —
+    convs via `PConv` (strided blocks included; the downsample shortcut is
+    a strided-slice 1×1 `Conv1x1`), norms on channel axis 2."""
 
     planes: int
     norm_fn: str = "instance"
@@ -107,13 +133,17 @@ class ResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.nhcw:
-            assert self.stride == 1, "NHCW residual path is stride-1 only"
-            y = PConv(self.planes, name="conv1")(x)
+            y = PConv(self.planes, stride=self.stride, name="conv1")(x)
             y = nn.relu(make_norm(self.norm_fn, self.planes, "norm1",
                                   nhcw=True)(y))
             y = PConv(self.planes, name="conv2")(y)
             y = nn.relu(make_norm(self.norm_fn, self.planes, "norm2",
                                   nhcw=True)(y))
+            if self.stride != 1:
+                x = Conv1x1(self.planes, stride=self.stride,
+                            name="downsample")(x)
+                x = make_norm(self.norm_fn, self.planes, "norm3",
+                              nhcw=True)(x)
             return nn.relu(x + y)
         y = tconv(self.planes, (3, 3), strides=self.stride, name="conv1")(x)
         y = nn.relu(make_norm(self.norm_fn, self.planes, "norm1")(y))
@@ -140,13 +170,25 @@ def _stem_pallas_default() -> bool:
 
 def _encoder_nhcw_default() -> bool:
     # layer1 (64-ch, stride-1) through the Pallas NHCW path; see PConv.
-    # PCFA_PALLAS_ENCODER=0 opts out independently of the stem knob.
+    # PCFA_PALLAS_ENCODER: 0 = off, 1 = layer1 (default), 2 = all stages
+    # (layer2/3 + output conv stay NHCW; see _encoder_nhcw_deep).
     import os
 
     import jax
 
-    return (os.environ.get("PCFA_PALLAS_ENCODER", "1") == "1"
+    return (os.environ.get("PCFA_PALLAS_ENCODER", "1") in ("1", "2")
             and jax.default_backend() == "tpu")
+
+
+def _encoder_nhcw_deep() -> bool:
+    # PCFA_PALLAS_ENCODER=2: the strided stages + 1×1 output conv also run
+    # in NHCW (Pallas where the tile plan fits, XLA-NHCW fallback where it
+    # doesn't — e.g. layer3's odd output height at KITTI size). Off by
+    # default until a bench A/B proves it end-to-end (the im2col-adjoint
+    # lesson: isolated wins can invert inside the attack closure).
+    import os
+
+    return os.environ.get("PCFA_PALLAS_ENCODER", "1") == "2"
 
 
 class StemConv(nn.Module):
@@ -198,21 +240,27 @@ class BasicEncoder(nn.Module):
         # param tree tolerates the unused tail.
         nhcw = (_encoder_nhcw_default() and x.shape[1] % 4 == 0
                 and x.shape[2] % 2 == 0)
+        deep = nhcw and _encoder_nhcw_deep()
         x = StemConv(64, name="conv1")(x, nhcw_out=nhcw)
         x = nn.relu(make_norm(self.norm_fn, 64, "norm1", nhcw=nhcw)(x))
         if depth == 1:
             return x.transpose(0, 1, 3, 2) if nhcw else x
         x = ResidualBlock(64, self.norm_fn, 1, nhcw=nhcw, name="layer1_0")(x)
         x = ResidualBlock(64, self.norm_fn, 1, nhcw=nhcw, name="layer1_1")(x)
-        if nhcw:
+        if nhcw and not deep:
             x = x.transpose(0, 1, 3, 2)
         if depth == 2:
-            return x
+            return x.transpose(0, 1, 3, 2) if deep else x
         for i, (dim, stride) in enumerate(((96, 2), (128, 2)), 2):
-            x = ResidualBlock(dim, self.norm_fn, stride, name=f"layer{i}_0")(x)
-            x = ResidualBlock(dim, self.norm_fn, 1, name=f"layer{i}_1")(x)
+            x = ResidualBlock(dim, self.norm_fn, stride, nhcw=deep,
+                              name=f"layer{i}_0")(x)
+            x = ResidualBlock(dim, self.norm_fn, 1, nhcw=deep,
+                              name=f"layer{i}_1")(x)
             if depth == i + 1:
-                return x
+                return x.transpose(0, 1, 3, 2) if deep else x
+        if deep:
+            return Conv1x1(self.output_dim, name="conv2")(x).transpose(
+                0, 1, 3, 2)
         return tconv(self.output_dim, (1, 1), name="conv2")(x)
 
 

@@ -319,6 +319,50 @@ def test_basic_encoder_nhcw_layer1_matches_nhwc(rng, monkeypatch, norm_fn):
                                atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize("shape", [(1, 32, 48, 3), (1, 56, 48, 3)])
+def test_basic_encoder_nhcw_deep_matches_nhwc(rng, monkeypatch, shape):
+    """PCFA_PALLAS_ENCODER=2 (deep NHCW: strided residual stages + 1×1
+    output conv stay in the Pallas layout) == the NHWC branch, forward AND
+    input-grad. H=56 makes layer3's output height odd (7) so the strided
+    block exercises small_conv2d's XLA-NHCW fallback; H=32 keeps every
+    stage on the Pallas plan. Param tree is shared across all three modes
+    (init under NHWC, applied under deep)."""
+    import pcfa_tpu.models.layers as ly
+    import pcfa_tpu.ops.pallas.small_conv as m
+
+    orig = m._forward
+    monkeypatch.setattr(
+        m, "_forward",
+        lambda x, k, b, act, interpret=True, plan=None, stride=1: orig(
+            x, k, b, act, interpret=True, stride=stride),
+    )
+    x = jnp.asarray(rng.random(shape), jnp.float32)
+    enc = ly.BasicEncoder(output_dim=64, norm_fn="instance")
+    params = enc.init(jax.random.PRNGKey(0), x)["params"]
+
+    def loss(p, xx):
+        return jnp.sum(jnp.sin(enc.apply({"params": p}, xx)))
+
+    ref, gref = jax.value_and_grad(loss, argnums=1)(params, x)
+    monkeypatch.setattr(ly, "_stem_pallas_default", lambda: True)
+    monkeypatch.setattr(ly, "_encoder_nhcw_default", lambda: True)
+    monkeypatch.setattr(ly, "_encoder_nhcw_deep", lambda: True)
+    out, gout = jax.value_and_grad(loss, argnums=1)(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gout), np.asarray(gref),
+                               atol=2e-4, rtol=1e-3)
+    # depth-truncation hooks return NHWC in every mode
+    for depth in (1, 2, 3, 4):
+        a = enc.apply({"params": params}, x, depth=depth)
+        monkeypatch.setattr(ly, "_encoder_nhcw_default", lambda: False)
+        b = enc.apply({"params": params}, x, depth=depth)
+        monkeypatch.setattr(ly, "_encoder_nhcw_default", lambda: True)
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-4)
+
+
 def test_corr_lookup_pallas_matches_mm(rng):
     """Pallas vertical slice+blend lookup (interpret) == corr_lookup_mm:
     values + pyramid gradients, OOB and integer coords, fp32 and bf16."""
