@@ -68,17 +68,67 @@ class FlowHead(nn.Module):
         return tconv(2, (3, 3), name="conv2")(x)
 
 
+def _gru_fused_default() -> bool:
+    # PCFA_GRU_FUSED=1: compute the z/r gates (which share the same hx
+    # input) as ONE conv with output-concatenated kernels. Same math, same
+    # param tree (the kernel concat is loop-invariant, so XLA hoists it out
+    # of the refinement scan); halves the GRU's gate-conv dispatches.
+    import os
+
+    return os.environ.get("PCFA_GRU_FUSED", "0") == "1"
+
+
+class _ConvParams(nn.Module):
+    """Param-tree twin of `tconv(features, ksize)` that only DECLARES the
+    kernel/bias (the fused GRU concatenates gate kernels before one conv)."""
+
+    features: int
+    ksize: tuple[int, int]
+
+    @nn.compact
+    def __call__(self, c_in: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (*self.ksize, c_in, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class SepConvGRU(nn.Module):
-    """`update.py:33-60`: horizontal (1×5) then vertical (5×1) GRU passes."""
+    """`update.py:33-60`: horizontal (1×5) then vertical (5×1) GRU passes.
+
+    `fused` (default via PCFA_GRU_FUSED): z and r read the same hx, so
+    their convs run as one double-width conv + channel split — identical
+    math and params, fewer passes."""
 
     hidden_dim: int = 128
+    fused: bool | None = None
 
     @nn.compact
     def __call__(self, h, x):
+        fused = self.fused if self.fused is not None else _gru_fused_default()
         for suffix, ksize in (("1", (1, 5)), ("2", (5, 1))):
             hx = jnp.concatenate([h, x], axis=-1)
-            z = nn.sigmoid(tconv(self.hidden_dim, ksize, name=f"convz{suffix}")(hx))
-            r = nn.sigmoid(tconv(self.hidden_dim, ksize, name=f"convr{suffix}")(hx))
+            if fused:
+                kz, bz = _ConvParams(self.hidden_dim, ksize,
+                                     name=f"convz{suffix}")(hx.shape[-1])
+                kr, br = _ConvParams(self.hidden_dim, ksize,
+                                     name=f"convr{suffix}")(hx.shape[-1])
+                pad = [(k // 2, k // 2) for k in ksize]
+                # match nn.Conv's dtype promotion (input vs param dtype)
+                dt = jnp.promote_types(hx.dtype, kz.dtype)
+                zr = jax.lax.conv_general_dilated(
+                    hx.astype(dt),
+                    jnp.concatenate([kz, kr], axis=-1).astype(dt),
+                    window_strides=(1, 1), padding=pad,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                ) + jnp.concatenate([bz, br]).astype(dt)
+                z = nn.sigmoid(zr[..., :self.hidden_dim])
+                r = nn.sigmoid(zr[..., self.hidden_dim:])
+            else:
+                z = nn.sigmoid(
+                    tconv(self.hidden_dim, ksize, name=f"convz{suffix}")(hx))
+                r = nn.sigmoid(
+                    tconv(self.hidden_dim, ksize, name=f"convr{suffix}")(hx))
             rhx = jnp.concatenate([r * h, x], axis=-1)
             q = nn.tanh(tconv(self.hidden_dim, ksize, name=f"convq{suffix}")(rhx))
             h = (1 - z) * h + z * q

@@ -228,3 +228,40 @@ def test_upsample_convex_vpu_matches_einsum():
     # meaningless at the flow's zero crossings)
     np.testing.assert_allclose(np.asarray(got_mixed), np.asarray(ref),
                                rtol=0, atol=0.15)
+
+
+def test_sepconvgru_fused_matches_unfused():
+    """PCFA_GRU_FUSED: the double-width z/r gate conv (kernels concatenated
+    on the output axis at apply time) == the two-conv reference form —
+    values AND (h, x) gradients, shared param tree, fp32 and bf16."""
+    from pcfa_tpu.models.raft import SepConvGRU
+
+    rng = np.random.default_rng(3)
+    B, H, W, hd = 2, 5, 7, 16
+    h0 = jnp.asarray(rng.standard_normal((B, H, W, hd)), jnp.float32)
+    x0 = jnp.asarray(rng.standard_normal((B, H, W, 2 * hd)), jnp.float32)
+
+    ref_gru = SepConvGRU(hd, fused=False)
+    params = ref_gru.init(jax.random.PRNGKey(0), h0, x0)["params"]
+    fused_gru = SepConvGRU(hd, fused=True)
+    assert (jax.tree.structure(fused_gru.init(
+        jax.random.PRNGKey(0), h0, x0)["params"])
+        == jax.tree.structure(params))
+
+    for dt, atol in ((jnp.float32, 1e-6), (jnp.bfloat16, 2e-2)):
+        p = jax.tree.map(lambda t: t.astype(dt), params)
+        h, x = h0.astype(dt), x0.astype(dt)
+
+        def loss(mod, hh, xx):
+            return jnp.sum(
+                jnp.sin(mod.apply({"params": p}, hh, xx).astype(jnp.float32)))
+
+        ref, gref = jax.value_and_grad(
+            lambda hh, xx: loss(ref_gru, hh, xx), argnums=(0, 1))(h, x)
+        out, gout = jax.value_and_grad(
+            lambda hh, xx: loss(fused_gru, hh, xx), argnums=(0, 1))(h, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=atol)
+        for a, b in zip(gout, gref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=atol)
