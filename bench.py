@@ -388,7 +388,10 @@ def main():
     # bench defaults (validated — see module docstring); env vars override
     os.environ.setdefault("PCFA_MATMUL_PRECISION", "default")
     os.environ.setdefault("PCFA_COMPUTE_DTYPE", "bfloat16")
-    os.environ.setdefault("PCFA_LBFGS_DTYPE", "bfloat16")
+    if args.net != "PWCNet":
+        # bf16 curvature history destabilizes PWCNet's attack trajectory
+        # (BASELINE.md round 3); config.lbfgs_history_dtype(net) enforces it
+        os.environ.setdefault("PCFA_LBFGS_DTYPE", "bfloat16")
 
     RuntimeConfig().apply()
     dev = jax.devices()[0]
@@ -396,7 +399,7 @@ def main():
     print("# config: "
           f"matmul={os.environ['PCFA_MATMUL_PRECISION']} "
           f"compute={os.environ['PCFA_COMPUTE_DTYPE'] or 'float32'} "
-          f"lbfgs_history={os.environ['PCFA_LBFGS_DTYPE'] or 'float32'} "
+          f"lbfgs_history={os.environ.get('PCFA_LBFGS_DTYPE') or 'float32'} "
           f"direction={os.environ.get('PCFA_LBFGS_DIRECTION', 'compact')}",
           file=sys.stderr)
     print("# caveat: bf16-stack attack quality validated on RANDOM-INIT "
@@ -452,7 +455,7 @@ def main():
     cfg = PCFAConfig(steps=steps, max_iter=max_iter, delta_bound=0.005,
                      boxconstraint="clipping",
                      lbfgs_direction=lbfgs_direction(),
-                     lbfgs_history_dtype=lbfgs_history_dtype())
+                     lbfgs_history_dtype=lbfgs_history_dtype(args.net))
     B = args.batch
     rng = np.random.default_rng(0)
     x1 = jnp.asarray(rng.random((B, 1, H, W, 3)), jnp.float32)
@@ -494,11 +497,61 @@ def main():
         return metrics
 
     # analytic FLOPs per attacked pair (MFU numerator): one init closure +
-    # steps outer L-BFGS segments, counted on the pre-optimization HLO
+    # steps outer L-BFGS segments, counted on the pre-optimization HLO.
+    # Pallas custom calls count 0 FLOPs under hlo_module_cost_analysis, so
+    # every Pallas migration would silently shrink the MFU basis (round-3
+    # lesson: NHCW layer1 dropped the analytic count 1.646e13 → 1.085e13).
+    # Count on a Pallas-FREE lowering of the SAME math instead: disable the
+    # Pallas env knobs and per-model `use_pallas` flags at trace time and
+    # lower separate jit objects (trace-only, nothing is compiled or run).
     state0, fpi0 = jax.eval_shape(init_jit, params, x1, x2)
-    init_flops = analytic_flops(init_jit, params, x1, x2)
-    step_flops = analytic_flops(step_jit, params, x1, x2, target, fpi0,
-                                state0)
+    import contextlib
+
+    @contextlib.contextmanager
+    def _pallas_off():
+        knobs = {"PCFA_PALLAS_STEM": "0", "PCFA_PALLAS_ENCODER": "0"}
+        saved = {k: os.environ.get(k) for k in knobs}
+        os.environ.update(knobs)
+        try:
+            yield
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
+    try:
+        model_nopl = model.clone(use_pallas=False)
+    except TypeError:  # model has no use_pallas field (RAFT/GMA: env knobs)
+        model_nopl = model
+
+    def flow_fn_nopl(prm, a, b):
+        if cdtype:
+            prm = jax.tree.map(lambda t: t.astype(cdtype), prm)
+            a, b = a.astype(cdtype), b.astype(cdtype)
+        out = model_nopl.apply({"params": prm}, a, b)
+        out = out[-1] if isinstance(out, tuple) else out
+        return out.astype(jnp.float32)
+
+    def outer_chunk_nopl(prm, a, b, t, fpi, s):
+        fn = functools.partial(flow_fn_nopl, prm)
+
+        def body(s, _):
+            s, metrics, _ = pcfa_outer_step(fn, a, b, t, fpi, s, cfg)
+            return s, metrics
+
+        return jax.lax.scan(body, s, None, length=chunk)
+
+    with _pallas_off():
+        init_flops = analytic_flops(jax.jit(jax.vmap(
+            lambda prm, a, b: pcfa_init(
+                functools.partial(flow_fn_nopl, prm), a, b, cfg),
+            in_axes=(None, 0, 0),
+        )), params, x1, x2)
+        step_flops = analytic_flops(
+            jax.jit(jax.vmap(outer_chunk_nopl, in_axes=(None, 0, 0, 0, 0, 0))),
+            params, x1, x2, target, fpi0, state0)
     flops_per_pair = None
     if init_flops is not None and step_flops is not None:
         flops_per_pair = (init_flops + -(-steps // chunk) * step_flops) / B

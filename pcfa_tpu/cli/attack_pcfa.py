@@ -102,7 +102,7 @@ def attack_l2(args) -> dict:
         boxconstraint=args.boxconstraint,
         joint_perturbation=args.joint_perturbation,
         lbfgs_direction=config.lbfgs_direction(),
-        lbfgs_history_dtype=config.lbfgs_history_dtype(),
+        lbfgs_history_dtype=config.lbfgs_history_dtype(args.net),
     )
 
     # per-image attacks are embarrassingly parallel: with multiple devices,
@@ -320,7 +320,7 @@ def attack_l2_universal(args) -> dict:
         loss=args.loss,
         joint_perturbation=args.joint_perturbation,
         lbfgs_direction=config.lbfgs_direction(),
-        lbfgs_history_dtype=config.lbfgs_history_dtype(),
+        lbfgs_history_dtype=config.lbfgs_history_dtype(args.net),
     )
 
     loader, has_gt = common.make_loader(

@@ -65,12 +65,36 @@ def lbfgs_direction() -> str:
     return os.environ.get("PCFA_LBFGS_DIRECTION", "compact")
 
 
-def lbfgs_history_dtype() -> str | None:
+def lbfgs_history_dtype(net: str | None = None) -> str | None:
     """Curvature-pair storage dtype for L-BFGS ('bfloat16' halves the
     optimizer's HBM footprint — 2.25 → 1.12 GB per KITTI pair — at a ~0.4%
-    rounding of the y/s pairs). Default fp32; env knob PCFA_LBFGS_DTYPE."""
+    rounding of the y/s pairs). Default fp32; env knob PCFA_LBFGS_DTYPE.
+
+    Pass the network name to enforce measured-safe combinations: bf16
+    curvature history DESTABILIZES PWCNet (measured on v5e: the attack
+    trajectory diverges, loss 0.25 → 7.96e4, best-under-bound ‖δ‖ 65% off
+    — BASELINE.md round 3), so PWCNet + bfloat16 refuses loudly, in the
+    spirit of the reference's unsupported-combo ValueErrors
+    (`attack_PCFA.py:91-92`). PCFA_LBFGS_DTYPE_FORCE=1 overrides (for
+    re-measuring), with a warning."""
     v = os.environ.get("PCFA_LBFGS_DTYPE", "")
-    return v if v and v != "float32" else None
+    v = v if v and v != "float32" else None
+    if v == "bfloat16" and net == "PWCNet":
+        if os.environ.get("PCFA_LBFGS_DTYPE_FORCE") == "1":
+            import warnings
+
+            warnings.warn(
+                "PCFA_LBFGS_DTYPE=bfloat16 with PWCNet is measured-unsafe "
+                "(trajectory destabilizes, BASELINE.md round 3); forcing "
+                "because PCFA_LBFGS_DTYPE_FORCE=1", stacklevel=2)
+            return v
+        raise ValueError(
+            "PCFA_LBFGS_DTYPE=bfloat16 is unsupported for PWCNet: bf16 "
+            "curvature history destabilizes its attack trajectory (loss "
+            "0.25 → 7.96e4, l2_min 65% off — measured on v5e, BASELINE.md "
+            "round 3). Unset PCFA_LBFGS_DTYPE or set "
+            "PCFA_LBFGS_DTYPE_FORCE=1 to override for experiments.")
+    return v
 
 
 @dataclasses.dataclass(frozen=True)

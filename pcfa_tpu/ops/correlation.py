@@ -292,8 +292,11 @@ def corr_lookup_gather(
     Identical output layout to `corr_lookup_mm` (x gets the first offset
     axis — the reference's transposed-window quirk `raft/corr.py:37-43`).
     Differentiable through the gathers (VJP = row scatter-adds); coords are
-    `stop_gradient`ed by every caller (raft.py:123 semantics).
+    `stop_gradient`ed HERE (raft.py:123 semantics, same contract as the
+    Pallas path) — the gather formulation's natural coords-VJP would be a
+    truncated fx-only gradient, not the mm hat-weight gradient.
     """
+    coords = jax.lax.stop_gradient(coords)
     r = radius
     P = 2 * r + 1
     B, H1, W1, _ = coords.shape
@@ -351,6 +354,10 @@ def corr_lookup_window(
     import os
 
     impl = os.environ.get("PCFA_CORR_LOOKUP", "mm_rf")
+    if impl not in ("mm_rf", "mm", "pallas", "gather"):
+        raise ValueError(
+            f"PCFA_CORR_LOOKUP={impl!r}: expected one of "
+            "'mm_rf', 'mm', 'pallas', 'gather'")
     if impl == "pallas":
         from pcfa_tpu.ops.pallas.corr_lookup import corr_lookup_pallas
 

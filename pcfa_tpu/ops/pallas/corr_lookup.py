@@ -121,6 +121,14 @@ def vslice_blend(cmap: jnp.ndarray, cy: jnp.ndarray, radius: int = 4,
 
 
 def _vslice_fwd_impl(cmap, cy, radius, qb, interpret):
+    if (2 * radius + 2) + 7 > _SLAB:
+        # the forward's pltpu.roll would wrap window rows around the slab
+        # and silently return wrong values: P+1 window rows plus the ≤7-row
+        # 8-alignment residual must fit the fixed slab
+        raise ValueError(
+            f"vslice_blend: radius={radius} needs a "
+            f"{(2 * radius + 2) + 7}-row slab > _SLAB={_SLAB} "
+            "(supported: radius <= 7)")
     P = 2 * radius + 1
     N, H2, W2 = cmap.shape
     cmap_p, ys, fy, npad = _pad_args(cmap, cy, radius, qb)

@@ -353,6 +353,18 @@ def _bwd(act, stride, res, g):
     p = k // 2
     kernel_t = kernel[::-1, ::-1].transpose(0, 1, 3, 2)
     zeros = jnp.zeros((kernel.shape[2],), g.dtype)
+    if stride > 1 and (x.shape[1] % stride or x.shape[3] % stride):
+        # Odd H/W under stride: the FORWARD fell back to conv_reference with
+        # ceil output semantics (Ho = ceil(H/s)), while every branch below
+        # assumes Ho = H//s — mirror the fallback's vjp exactly for all of
+        # dx/dw/db instead (g already carries the activation cotangent).
+        zeros_b = jnp.zeros((kernel.shape[3],), g.dtype)
+        _, vjp = jax.vjp(
+            lambda a, w: conv_reference(a, w, zeros_b, None, stride=stride),
+            x, kernel)
+        dx, dw = vjp(g)
+        db = jnp.sum(g, axis=(0, 1, 3))
+        return dx, dw, db
     if stride == 1:
         # dx: stride-1 SAME conv-transpose identity — same kernel, weights
         # spatially flipped and channel-transposed

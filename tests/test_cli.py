@@ -100,3 +100,63 @@ def test_pcfa_custom_target(tmp_path):
     ])
     runs = glob.glob(os.path.join(out, "SpyNet_PCFA_dd_-", "*"))
     assert len(runs) == 1
+
+
+def test_convert_perturbationsizes_both_directions():
+    """Hand-computed padding-family conversion (`evaluate_PCFA.py:60-79`):
+    a δ trained on a ÷64 net (SpyNet) must be unpadded with the ÷64 padder
+    and replicate-re-padded with the ÷8 padder (RAFT) — and vice versa.
+    (The reference's ÷255→×255 dance nets out to identity: this repo works
+    in unit scale everywhere, so only the re-pad remains.)"""
+    from pcfa_tpu.cli.evaluate_pcfa import convert_perturbationsizes
+
+    rng = np.random.default_rng(0)
+    H, W = 20, 30  # SpyNet pads to 64×64 (sintel-centred), RAFT to 24×32
+
+    # SpyNet-trained δ lives at 64×64: top/left pads are 22 and 17
+    d_spynet = rng.standard_normal((64, 64, 3)).astype(np.float32)
+    out = convert_perturbationsizes(d_spynet, (H, W), "SpyNet", "RAFT")
+    assert out.shape == (24, 32, 3)
+    core = d_spynet[22:22 + H, 17:17 + W]         # ÷64 unpad (centre crop)
+    expected = np.pad(core, ((2, 2), (1, 1), (0, 0)), mode="edge")  # ÷8 re-pad
+    np.testing.assert_array_equal(np.asarray(out), expected)
+
+    # reverse: RAFT-trained δ at 24×32 → SpyNet's 64×64
+    d_raft = rng.standard_normal((24, 32, 3)).astype(np.float32)
+    out2 = convert_perturbationsizes(d_raft, (H, W), "RAFT", "SpyNet")
+    assert out2.shape == (64, 64, 3)
+    core2 = d_raft[2:2 + H, 1:1 + W]
+    expected2 = np.pad(core2, ((22, 22), (17, 17), (0, 0)), mode="edge")
+    np.testing.assert_array_equal(np.asarray(out2), expected2)
+
+    # same family is a no-op (object identity, reference behavior)
+    assert convert_perturbationsizes(d_raft, (H, W), "RAFT", "GMA") is d_raft
+    assert convert_perturbationsizes(
+        d_spynet, (H, W), "SpyNet", "FlowNet2") is d_spynet
+
+
+def test_transfer_evaluate_spynet_to_raft(tmp_path, monkeypatch):
+    """Cross-family transfer eval (SpyNet-trained universal δ replayed on
+    RAFT) runs the convert_perturbationsizes re-pad branch end-to-end —
+    the reference workflow `evaluate_PCFA.py --origin_net` (readme.md
+    robustness tables are exactly such cross-net evaluations)."""
+    monkeypatch.setenv("PCFA_SYNTHETIC_SIZE", "100x132")
+    out = str(tmp_path / "uni")
+    res = pcfa_main(COMMON + [
+        "--steps=1", "--epochs=1", "--batch_size=2",
+        "--universal_perturbation", f"--output_folder={out}",
+    ])
+    run_folder = res["folder_path"]
+    d1 = np.load(glob.glob(
+        os.path.join(run_folder, "patches", "*_delta1_e0.npy"))[0])
+    assert d1.shape[-2:] == (128, 192)  # SpyNet ÷64 padded shape
+
+    results = eval_main([
+        "--net=RAFT", "--dataset=Synthetic", "--dataset_stage=training",
+        "--unregistered_artifacts",
+        "--origin_net=SpyNet", "--universal_perturbation",
+        "--boxconstraint=clipping", "--batch_size=2",
+        f"--perturbation_sourcefolder={run_folder}",
+        f"--output_folder={tmp_path / 'eval'}",
+    ])
+    assert 0 in results and np.isfinite(results[0]["aee_adv_pred"])

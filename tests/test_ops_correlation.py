@@ -160,10 +160,11 @@ def test_corr_lookup_mm_rf_matches_mm(rng):
 
 
 def test_corr_lookup_gather_matches_mm(rng):
-    """Flat-gather lookup (corr_lookup_gather, the TPU default via
-    corr_lookup_window) == the separable-matmul form: values and
-    pyramid-gradients, including far-out-of-range and exactly-integer
-    coords, fp32 and bf16 maps."""
+    """Flat-gather lookup (corr_lookup_gather — a parity-tested ABLATION,
+    measured 3.5× slower than the mm_rf default; see corr_lookup_window)
+    == the separable-matmul form: values and pyramid-gradients, including
+    far-out-of-range and exactly-integer coords, fp32 and bf16 maps.
+    (test_corr_lookup_mm_rf_matches_mm covers the actual default.)"""
     import jax
 
     f1 = jnp.asarray(rng.standard_normal((2, 16, 24, 32)), jnp.float32)
@@ -206,6 +207,34 @@ def test_corr_lookup_window_dispatch(monkeypatch):
     monkeypatch.setenv("PCFA_CORR_LOOKUP", "gather")
     b = correlation.corr_lookup_window(pyr, coords, 2)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # typos must raise, not silently fall through to the slowest path
+    monkeypatch.setenv("PCFA_CORR_LOOKUP", "mmrf")
+    with pytest.raises(ValueError, match="PCFA_CORR_LOOKUP"):
+        correlation.corr_lookup_window(pyr, coords, 2)
+
+
+def test_corr_lookup_gather_coords_stop_gradient():
+    """corr_lookup_gather stop-gradients coords (same contract as the
+    Pallas path): its natural coords-VJP would be a truncated fx-only
+    gradient, not the mm hat-weight gradient."""
+    import jax
+
+    pyr = [jnp.ones((4, 8, 8, 1), jnp.float32)]
+    coords = jnp.full((1, 2, 2, 2), 3.2, jnp.float32)
+    g = jax.grad(lambda c: jnp.sum(
+        correlation.corr_lookup_gather(pyr, c, 2) ** 2))(coords)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+def test_vslice_blend_radius_guard():
+    """The fixed 24-row Pallas slab supports radius ≤ 7; larger radii must
+    fail loudly instead of wrapping window rows around the slab."""
+    from pcfa_tpu.ops.pallas.corr_lookup import vslice_blend
+
+    cmap = jnp.ones((8, 16, 128), jnp.float32)
+    cy = jnp.full((8,), 4.0, jnp.float32)
+    with pytest.raises(ValueError, match="radius"):
+        vslice_blend(cmap, cy, 8, 8, True)
 
 
 def test_corr_pyramid_pooled_matches_volume_pooling(rng):

@@ -247,6 +247,30 @@ def test_small_conv_pallas_strided_gradients(rng, monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
 
 
+@pytest.mark.parametrize("shape", [(1, 9, 6, 23), (1, 36, 3, 17)])
+def test_small_conv_strided_odd_shape_gradients(rng, shape):
+    """Odd H/W under stride: the forward falls back to the ceil-semantics
+    XLA conv (Ho = ceil(H/s)), and the backward must mirror it — the deep
+    NHCW encoder mode reaches this with e.g. Sintel 436-height inputs
+    (layer3 input height 109). Regression for the round-3 advisor finding:
+    _bwd assumed Ho = H//s and raised a trace-time einsum shape error."""
+    import pcfa_tpu.ops.pallas.small_conv as m
+
+    B, H, C_in, W = shape
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((7, 7, C_in, 16)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(16), jnp.float32)
+    out = m.small_conv2d(x, w, b, "leaky", 2)
+    ref = m.conv_reference(x, w, b, "leaky", 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    g1 = jax.grad(lambda *a: jnp.sum(m.small_conv2d(*a, "leaky", 2) ** 2),
+                  argnums=(0, 1, 2))(x, w, b)
+    g2 = jax.grad(lambda *a: jnp.sum(m.conv_reference(*a, "leaky", 2) ** 2),
+                  argnums=(0, 1, 2))(x, w, b)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
 def test_flownetc_pallas_branch_matches_xla(rng, monkeypatch):
     """FlowNetC with the Pallas CL branch (interpret) == the XLA branch."""
     import pcfa_tpu.models.flownet2 as fn2
@@ -319,14 +343,17 @@ def test_basic_encoder_nhcw_layer1_matches_nhwc(rng, monkeypatch, norm_fn):
                                atol=2e-4, rtol=1e-3)
 
 
-@pytest.mark.parametrize("shape", [(1, 32, 48, 3), (1, 56, 48, 3)])
+@pytest.mark.parametrize("shape",
+                         [(1, 32, 48, 3), (1, 56, 48, 3), (1, 36, 48, 3)])
 def test_basic_encoder_nhcw_deep_matches_nhwc(rng, monkeypatch, shape):
     """PCFA_PALLAS_ENCODER=2 (deep NHCW: strided residual stages + 1×1
     output conv stay in the Pallas layout) == the NHWC branch, forward AND
     input-grad. H=56 makes layer3's output height odd (7) so the strided
-    block exercises small_conv2d's XLA-NHCW fallback; H=32 keeps every
-    stage on the Pallas plan. Param tree is shared across all three modes
-    (init under NHWC, applied under deep)."""
+    block exercises small_conv2d's XLA-NHCW fallback; H=36 gives layer3 an
+    ODD input height (9) so the strided fallback's BACKWARD is exercised
+    too (round-3 advisor regression — Sintel 436-height hits this); H=32
+    keeps every stage on the Pallas plan. Param tree is shared across all
+    three modes (init under NHWC, applied under deep)."""
     import pcfa_tpu.models.layers as ly
     import pcfa_tpu.ops.pallas.small_conv as m
 

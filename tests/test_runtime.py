@@ -84,3 +84,27 @@ def test_converted_param_cache(tmp_path, monkeypatch, rng):
     b = jax.tree.leaves(l2.params)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_pwcnet_bf16_lbfgs_history_fenced(monkeypatch):
+    """PCFA_LBFGS_DTYPE=bfloat16 destabilizes PWCNet's attack trajectory
+    (measured, BASELINE.md round 3) — config.lbfgs_history_dtype(net) must
+    refuse the combination instead of silently running a broken attack,
+    unless PCFA_LBFGS_DTYPE_FORCE=1 explicitly overrides."""
+    from pcfa_tpu import config
+
+    monkeypatch.setenv("PCFA_LBFGS_DTYPE", "bfloat16")
+    monkeypatch.delenv("PCFA_LBFGS_DTYPE_FORCE", raising=False)
+    # safe nets keep the knob
+    assert config.lbfgs_history_dtype("RAFT") == "bfloat16"
+    assert config.lbfgs_history_dtype() == "bfloat16"
+    with pytest.raises(ValueError, match="PWCNet"):
+        config.lbfgs_history_dtype("PWCNet")
+    # explicit override warns but proceeds
+    monkeypatch.setenv("PCFA_LBFGS_DTYPE_FORCE", "1")
+    with pytest.warns(UserWarning, match="measured-unsafe"):
+        assert config.lbfgs_history_dtype("PWCNet") == "bfloat16"
+    # fp32 history is always fine
+    monkeypatch.setenv("PCFA_LBFGS_DTYPE", "float32")
+    monkeypatch.delenv("PCFA_LBFGS_DTYPE_FORCE", raising=False)
+    assert config.lbfgs_history_dtype("PWCNet") is None
