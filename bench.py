@@ -346,14 +346,16 @@ def main():
                     "the per-dispatch overhead of tunneled backends but "
                     "raise per-program runtime (tunnel watchdog).")
     ap.add_argument("--corr-impl", default="auto",
-                    choices=["auto", "materialized", "fused"],
+                    choices=["auto", "materialized", "fused", "hybrid"],
                     help="RAFT/GMA correlation: 'fused' never materializes "
                     "the O(N^2) volume (blockwise rebuild per lookup) — "
                     "the memory lever for --size beyond KITTI or larger "
-                    "--batch; 'auto' (default) materializes while the "
-                    "pyramid fits PCFA_CORR_HBM_BUDGET_MB, fuses beyond")
+                    "--batch; 'hybrid' materializes levels 1..3 and "
+                    "rebuilds only the big level 0 per lookup; 'auto' "
+                    "(default) materializes while the pyramid fits "
+                    "PCFA_CORR_HBM_BUDGET_MB, fuses beyond")
     ap.add_argument("--corr-block", type=int, default=1024,
-                    help="query-block size for --corr-impl=fused")
+                    help="query-block size for --corr-impl=fused/hybrid")
     ap.add_argument("--net", default="RAFT",
                     choices=["RAFT", "GMA", "PWCNet", "SpyNet", "FlowNet2",
                              "RAFT-small"],

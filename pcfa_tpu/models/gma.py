@@ -37,6 +37,7 @@ from pcfa_tpu.models.raft import (
 )
 from pcfa_tpu.ops.correlation import (
     corr_lookup_fused,
+    corr_lookup_hybrid,
     corr_lookup_window,
     corr_pyramid_pooled,
     f2_feature_pyramid,
@@ -201,12 +202,17 @@ class GMAScanBody(nn.Module):
 
     def __call__(self, carry, const):
         net, coords1 = carry
-        if self.corr_impl == "fused":
+        if self.corr_impl in ("fused", "hybrid"):
             inp, coords0, attention, fmap1, pyramid = const
         else:
             inp, coords0, attention, pyramid = const
         coords1 = jax.lax.stop_gradient(coords1)  # network.py:108
-        if self.spatial_axis is not None:
+        if self.corr_impl == "hybrid":
+            # (fmap2, materialized levels 1..L-1); level 0 rebuilt per lookup
+            fmap2, rest = pyramid[0], list(pyramid[1:])
+            corr = corr_lookup_hybrid(fmap1, fmap2, rest, coords1,
+                                      self.corr_radius, self.corr_block)
+        elif self.spatial_axis is not None:
             hs = coords1.shape[1] // self.spatial_shards
             r0 = jax.lax.axis_index(self.spatial_axis) * hs
             c_loc = jax.lax.dynamic_slice_in_dim(coords1, r0, hs, axis=1)
@@ -273,8 +279,15 @@ class GMA(nn.Module):
             self.corr_impl, fmap1.shape, fmap2.shape, self.corr_levels,
             fmap1.dtype, self.spatial_shards,
         )
+        if corr_impl == "hybrid" and self.spatial_axis is not None:
+            raise NotImplementedError(
+                "corr_impl='hybrid' is not supported under spatial "
+                "sharding (use 'materialized' or 'fused')")
         if corr_impl == "fused":
             pyramid = f2_feature_pyramid(fmap2, self.corr_levels)
+        elif corr_impl == "hybrid":
+            pyramid = [fmap2] + corr_pyramid_pooled(
+                fmap1, fmap2, self.corr_levels, start_level=1)
         elif self.spatial_axis is not None:
             hs = fmap1.shape[1] // self.spatial_shards
             r0 = jax.lax.axis_index(self.spatial_axis) * hs
@@ -329,7 +342,7 @@ class GMA(nn.Module):
           name="update_block")
 
         const = ((inp, coords0, attention, fmap1, tuple(pyramid))
-                 if corr_impl == "fused"
+                 if corr_impl in ("fused", "hybrid")
                  else (inp, coords0, attention, tuple(pyramid)))
         (net, coords1), _ = scanned((net, coords1), const)
         up_mask = scanned.mask(net)

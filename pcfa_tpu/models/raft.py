@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from pcfa_tpu.models.layers import BasicEncoder, tconv
 from pcfa_tpu.ops.correlation import (
     corr_lookup_fused,
+    corr_lookup_hybrid,
     corr_lookup_window,
     corr_pyramid_pooled,
     f2_feature_pyramid,
@@ -247,12 +248,18 @@ class RAFTScanBody(nn.Module):
 
     def __call__(self, carry, const):
         net, coords1 = carry
-        if self.corr_impl == "fused":
+        if self.corr_impl in ("fused", "hybrid"):
             inp, coords0, fmap1, pyramid = const
         else:
             inp, coords0, pyramid = const
         coords1 = jax.lax.stop_gradient(coords1)  # raft.py:123
-        if self.spatial_axis is not None:
+        if self.corr_impl == "hybrid":
+            # pyramid = (fmap2, materialized levels 1..L−1): level 0 is
+            # rebuilt blockwise from the feature maps per lookup
+            fmap2, rest = pyramid[0], list(pyramid[1:])
+            corr = corr_lookup_hybrid(fmap1, fmap2, rest, coords1,
+                                      self.corr_radius, self.corr_block)
+        elif self.spatial_axis is not None:
             hs = coords1.shape[1] // self.spatial_shards
             r0 = jax.lax.axis_index(self.spatial_axis) * hs
             c_loc = jax.lax.dynamic_slice_in_dim(coords1, r0, hs, axis=1)
@@ -333,9 +340,17 @@ class RAFT(nn.Module):
             self.corr_impl, fmap1.shape, fmap2.shape, self.corr_levels,
             fmap1.dtype, self.spatial_shards,
         )
+        if corr_impl == "hybrid" and self.spatial_axis is not None:
+            raise NotImplementedError(
+                "corr_impl='hybrid' is not supported under spatial "
+                "sharding (use 'materialized' or 'fused')")
         if corr_impl == "fused":
             # pooled FEATURE maps; corr rows rebuilt blockwise per lookup
             pyramid = f2_feature_pyramid(fmap2, self.corr_levels)
+        elif corr_impl == "hybrid":
+            # raw fmap2 (level 0 rebuilt per lookup) + materialized 1..L−1
+            pyramid = [fmap2] + corr_pyramid_pooled(
+                fmap1, fmap2, self.corr_levels, start_level=1)
         elif self.spatial_axis is not None:
             hs = fmap1.shape[1] // self.spatial_shards
             r0 = jax.lax.axis_index(self.spatial_axis) * hs
@@ -382,7 +397,7 @@ class RAFT(nn.Module):
           name="update_block")
 
         const = ((inp, coords0, fmap1, tuple(pyramid))
-                 if corr_impl == "fused"
+                 if corr_impl in ("fused", "hybrid")
                  else (inp, coords0, tuple(pyramid)))
         (net, coords1), _ = scanned((net, coords1), const)
         up_mask = scanned.mask(net)

@@ -98,7 +98,8 @@ def resolve_corr_impl(
 
 
 def corr_pyramid_pooled(
-    fmap1: jnp.ndarray, fmap2: jnp.ndarray, num_levels: int = 4
+    fmap1: jnp.ndarray, fmap2: jnp.ndarray, num_levels: int = 4,
+    start_level: int = 0,
 ) -> list[jnp.ndarray]:
     """Correlation pyramid built per-level from POOLED f2 features.
 
@@ -119,6 +120,8 @@ def corr_pyramid_pooled(
 
     fmap1: (B, H1, W1, C); fmap2: (B, H2, W2, C) → list of
     (B·H1·W1, H2/2ˡ, W2/2ˡ, 1), level-0-first, ready for `corr_lookup_mm`.
+    `start_level` skips the first levels' matmuls (the hybrid corr path
+    materializes only levels ≥ 1, rebuilding level 0 per lookup).
     """
     B, H1, W1, C = fmap1.shape
     f1 = fmap1.reshape(B, H1 * W1, C)
@@ -127,7 +130,9 @@ def corr_pyramid_pooled(
     )
     pyramid = []
     f2_l = fmap2
-    for _ in range(num_levels):
+    for _ in range(start_level):
+        f2_l = avg_pool2d(f2_l, 2, 2)
+    for _ in range(num_levels - start_level):
         _, H2, W2, _ = f2_l.shape
         cmap = jnp.einsum(
             "bnc,bmc->bnm", f1, f2_l.reshape(B, H2 * W2, C),
@@ -468,6 +473,36 @@ def corr_lookup_fused(
         [lvl for lvl in f2_levels],
     )
     return out.reshape(B, H1, W1, L * P * P)
+
+
+def corr_lookup_hybrid(
+    fmap1: jnp.ndarray,
+    fmap2: jnp.ndarray,
+    pyramid_rest: list[jnp.ndarray],
+    coords: jnp.ndarray,
+    radius: int = 4,
+    block: int = 1024,
+) -> jnp.ndarray:
+    """Hybrid materialized/fused window lookup: levels 1..L−1 read the
+    MATERIALIZED pooled-f2 correlation maps (`corr_lookup_mm_rf`, the
+    measured-fastest path for small maps), while the big level-0 window
+    rows are rebuilt BLOCKWISE from the raw feature maps per lookup
+    (`corr_lookup_fused` machinery restricted to one level) — trading idle
+    MXU FLOPs for the ~B·N·H2·W2 HBM stream of the persistent level-0 map
+    every iteration (fwd + cotangent accumulate in bwd). Motivation:
+    `raft/corr.py:52-60` materializes everything; `alt_cuda_corr`
+    (`raft/corr.py:63-91`) rebuilds everything; level 0 holds ¾ of the
+    pyramid's bytes but only requires one extra N×N×C matmul to rebuild.
+
+    fmap1/fmap2: (B, H, W, C); pyramid_rest: materialized levels 1..L−1
+    (from `corr_pyramid_pooled` on the ONCE-pooled f2). Output identical
+    (up to fp association) to `corr_lookup_mm` over the full pyramid.
+    """
+    lvl0 = corr_lookup_fused(fmap1, [fmap2], coords, radius, block)
+    # pre-divide coords once: inside the sublist, level l is scaled 2^l
+    # relative to the /2 coords → total /2^(l+1) as required
+    rest = corr_lookup_mm_rf(pyramid_rest, coords / 2, radius)
+    return jnp.concatenate([lvl0, rest], axis=-1)
 
 
 def local_correlation(

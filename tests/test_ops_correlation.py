@@ -346,3 +346,47 @@ def test_correlation_matmul_bwd_matches_autodiff(case, rng):
     d1, d2 = correlation_matmul_bwd(f1, f2, g, P, s)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d1_ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(d2), np.asarray(d2_ref), atol=1e-5)
+
+
+def test_corr_lookup_hybrid_matches_mm(rng):
+    """Hybrid lookup (blockwise-rebuilt level 0 + materialized levels 1..3)
+    == the all-materialized separable-matmul form: values and feature
+    gradients (the hybrid path differentiates through the level-0 rebuild
+    matmul instead of a persistent cmap cotangent)."""
+    import jax
+
+    B, H, W, C, L = 2, 16, 24, 32, 4
+    f1 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    coords = jnp.asarray(rng.uniform(-6, 30, (B, H, W, 2)), jnp.float32)
+
+    def hybrid(a, b):
+        rest = correlation.corr_pyramid_pooled(a, b, L, start_level=1)
+        return correlation.corr_lookup_hybrid(a, b, rest, coords, 4, 128)
+
+    def ref(a, b):
+        pyr = correlation.corr_pyramid_pooled(a, b, L)
+        return correlation.corr_lookup_mm(pyr, coords, 4)
+
+    np.testing.assert_allclose(np.asarray(hybrid(f1, f2)),
+                               np.asarray(ref(f1, f2)),
+                               atol=3e-5, rtol=1e-5)
+
+    ga = jax.grad(lambda a, b: jnp.sum(hybrid(a, b) ** 2), argnums=(0, 1))(
+        f1, f2)
+    gb = jax.grad(lambda a, b: jnp.sum(ref(a, b) ** 2), argnums=(0, 1))(
+        f1, f2)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=2e-4, rtol=1e-4)
+
+
+def test_corr_pyramid_pooled_start_level(rng):
+    """start_level=k returns exactly pyramid[k:] of the full build."""
+    f1 = jnp.asarray(rng.standard_normal((1, 8, 16, 8)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((1, 8, 16, 8)), jnp.float32)
+    full = correlation.corr_pyramid_pooled(f1, f2, 3)
+    tail = correlation.corr_pyramid_pooled(f1, f2, 3, start_level=1)
+    assert len(tail) == 2
+    for a, b in zip(full[1:], tail):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

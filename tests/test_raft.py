@@ -142,6 +142,41 @@ def test_raft_fused_corr_matches_materialized(torch_raft):
                                atol=1e-4 * max(scale, 1.0))
 
 
+def test_raft_hybrid_corr_matches_materialized(torch_raft):
+    """`corr_impl='hybrid'` (materialized levels 1..3, level 0 rebuilt
+    blockwise per lookup) must reproduce the materialized path's flow AND
+    input gradients."""
+    sd = {k: v.numpy() for k, v in torch_raft.state_dict().items()
+          if "num_batches_tracked" not in k}
+    params = raft_params_from_state(sd)
+    m_mat, _ = make_model("RAFT", iters=2)
+    m_hyb, _ = make_model("RAFT", iters=2, corr_impl="hybrid",
+                          corr_block=100)
+
+    rng = np.random.default_rng(3)
+    i1 = jnp.asarray(rng.random((1, H, W, 3)), jnp.float32)
+    i2 = jnp.asarray(rng.random((1, H, W, 3)), jnp.float32)
+
+    def flow_and_grad(model):
+        def loss(x1, x2):
+            _, up = model.apply({"params": params}, x1, x2)
+            return jnp.mean(up**2), up
+
+        (val, up), (g1, g2) = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True)(i1, i2)
+        return up, g1, g2
+
+    up_m, g1_m, g2_m = flow_and_grad(m_mat)
+    up_h, g1_h, g2_h = flow_and_grad(m_hyb)
+    np.testing.assert_allclose(np.asarray(up_m), np.asarray(up_h),
+                               rtol=1e-4, atol=1e-4)
+    scale = float(jnp.abs(g1_m).max())
+    np.testing.assert_allclose(np.asarray(g1_m), np.asarray(g1_h),
+                               atol=1e-4 * max(scale, 1.0))
+    np.testing.assert_allclose(np.asarray(g2_m), np.asarray(g2_h),
+                               atol=1e-4 * max(scale, 1.0))
+
+
 def test_raft_small_matches_reference():
     """RAFT small=true variant vs the reference (`raft.py:29-33,48-51`)."""
     if REF not in sys.path:
