@@ -21,6 +21,8 @@ C/S1 flows and *nearest* ×4 for S2/SD flows (`FlowNet2.py:36,48,63-64`).
 
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -40,6 +42,13 @@ def _cl_pallas_default() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _chain_nhcw() -> bool:
+    """Chain consecutive Pallas-eligible stem convs in the NHCW layout
+    (skip the per-conv NHWC↔NHCW transpose pairs). Layout-only; numerics
+    identical. PCFA_FN2_CHAIN=0 opts out for A/B."""
+    return os.environ.get("PCFA_FN2_CHAIN", "1") == "1"
+
+
 class _PConv(nn.Module):
     """Param-tree twin of `nn.Conv` that runs the shifted-slab Pallas
     kernel (`ops/pallas/small_conv.py`) on NHCW with fused LeakyReLU."""
@@ -49,16 +58,18 @@ class _PConv(nn.Module):
     stride: int
 
     @nn.compact
-    def __call__(self, x):  # x NHWC
-        c_in = x.shape[-1]
+    def __call__(self, x, nhcw_in: bool = False, nhcw_out: bool = False):
+        c_in = x.shape[2] if nhcw_in else x.shape[-1]
         kern = self.param("kernel", nn.initializers.lecun_normal(),
                           (self.kernel, self.kernel, c_in, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         from pcfa_tpu.ops.pallas.small_conv import small_conv2d
 
-        out = small_conv2d(x.transpose(0, 1, 3, 2).astype(kern.dtype),
-                           kern, bias, "leaky", self.stride)
-        return out.transpose(0, 1, 3, 2)
+        if not nhcw_in:
+            x = x.transpose(0, 1, 3, 2)
+        out = small_conv2d(x.astype(kern.dtype), kern, bias, "leaky",
+                           self.stride)
+        return out if nhcw_out else out.transpose(0, 1, 3, 2)
 
 
 class CL(nn.Module):
@@ -66,7 +77,12 @@ class CL(nn.Module):
 
     On TPU, small-input-channel convs (the encoder heads of every FlowNet
     subnet — XLA pads ≤64 channels to 128 lanes on both matmul axes) run
-    through the shifted-slab Pallas kernel with a fused leaky epilogue."""
+    through the shifted-slab Pallas kernel with a fused leaky epilogue.
+
+    `nhcw_in`/`nhcw_out` let consecutive Pallas convs hand tensors off in
+    the kernel's native NHCW layout (transposes only at chain boundaries);
+    the XLA fallback transposes as needed, so the flags are layout hints,
+    never a correctness requirement."""
 
     features: int
     kernel: int = 3
@@ -74,21 +90,26 @@ class CL(nn.Module):
     use_pallas: bool | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, nhcw_in: bool = False, nhcw_out: bool = False):
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = _cl_pallas_default()
-        if (use_pallas and x.shape[-1] <= 64 and self.stride in (1, 2)
-                and x.shape[1] % self.stride == 0
-                and x.shape[2] % self.stride == 0):
+        c_in = x.shape[2] if nhcw_in else x.shape[-1]
+        h = x.shape[1]
+        w = x.shape[3] if nhcw_in else x.shape[2]
+        if (use_pallas and c_in <= 64 and self.stride in (1, 2)
+                and h % self.stride == 0 and w % self.stride == 0):
             return _PConv(self.features, self.kernel, self.stride,
-                          name="0")(x)
+                          name="0")(x, nhcw_in=nhcw_in, nhcw_out=nhcw_out)
+        if nhcw_in:
+            x = x.transpose(0, 1, 3, 2)
         p = (self.kernel - 1) // 2
-        return _leaky(
+        out = _leaky(
             nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=self.stride, padding=[(p, p), (p, p)],
                     name="0")(x)
         )
+        return out.transpose(0, 1, 3, 2) if nhcw_out else out
 
 
 class IConv(nn.Module):
@@ -143,10 +164,11 @@ class FlowNetC(nn.Module):
         conv2 = CL(128, 5, 2, name="conv2")
         conv3 = CL(256, 5, 2, name="conv3")
 
-        c1a = conv1(x1)
-        c2a = conv2(c1a)
+        ch = _chain_nhcw()  # conv1→conv2 hand-off stays NHCW (conv3 is XLA)
+        c1a = conv1(x1, nhcw_out=ch)
+        c2a = conv2(c1a, nhcw_in=ch)
         c3a = conv3(c2a)
-        c3b = conv3(conv2(conv1(x2)))
+        c3b = conv3(conv2(conv1(x2, nhcw_out=ch), nhcw_in=ch))
 
         use_pallas = self.use_pallas
         if use_pallas is None:
@@ -193,8 +215,9 @@ class FlowNetS(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        out_conv1 = CL(64, 7, 2, name="conv1")(x)
-        out_conv2 = CL(128, 5, 2, name="conv2")(out_conv1)
+        ch = _chain_nhcw()  # conv1→conv2 hand-off (out_conv1 has no skip)
+        out_conv1 = CL(64, 7, 2, name="conv1")(x, nhcw_out=ch)
+        out_conv2 = CL(128, 5, 2, name="conv2")(out_conv1, nhcw_in=ch)
         out_conv3 = CL(256, name="conv3_1")(CL(256, 5, 2, name="conv3")(out_conv2))
         out_conv4 = CL(512, name="conv4_1")(CL(512, 3, 2, name="conv4")(out_conv3))
         out_conv5 = CL(512, name="conv5_1")(CL(512, 3, 2, name="conv5")(out_conv4))
@@ -228,8 +251,11 @@ class FlowNetSD(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        out_conv0 = CL(64, name="conv0")(x)
-        out_conv1 = CL(128, name="conv1_1")(CL(64, 3, 2, name="conv1")(out_conv0))
+        ch = _chain_nhcw()  # conv0→conv1→conv1_1 all Pallas-eligible, no skips
+        out_conv0 = CL(64, name="conv0")(x, nhcw_out=ch)
+        out_conv1 = CL(128, name="conv1_1")(
+            CL(64, 3, 2, name="conv1")(out_conv0, nhcw_in=ch, nhcw_out=ch),
+            nhcw_in=ch)
         out_conv2 = CL(128, name="conv2_1")(CL(128, 3, 2, name="conv2")(out_conv1))
         out_conv3 = CL(256, name="conv3_1")(CL(256, 3, 2, name="conv3")(out_conv2))
         out_conv4 = CL(512, name="conv4_1")(CL(512, 3, 2, name="conv4")(out_conv3))
@@ -268,8 +294,10 @@ class FlowNetFusion(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        ch = _chain_nhcw()  # conv1→conv1_1 only: conv0's output feeds concat0
         out_conv0 = CL(64, name="conv0")(x)
-        out_conv1 = CL(128, name="conv1_1")(CL(64, 3, 2, name="conv1")(out_conv0))
+        out_conv1 = CL(128, name="conv1_1")(
+            CL(64, 3, 2, name="conv1")(out_conv0, nhcw_out=ch), nhcw_in=ch)
         out_conv2 = CL(128, name="conv2_1")(CL(128, 3, 2, name="conv2")(out_conv1))
 
         flow2 = predict_flow("predict_flow2")(out_conv2)

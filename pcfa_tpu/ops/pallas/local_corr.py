@@ -232,24 +232,30 @@ def _backward(fmap1, fmap2, g, patch, stride, interpret=False):
                               (0, 0)))
         gpad = jnp.pad(g, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
         slabs = _gather_slabs(f2p, n_h, n_w, TH, WB, R)
-        df1 = pl.pallas_call(
-            functools.partial(_dgrad1_kernel, patch=patch, stride=stride,
-                              TH=TH, WB=WB, R=R, inv_c=1.0 / C),
-            out_shape=jax.ShapeDtypeStruct((B, Hp, Wp, C), fmap1.dtype),
-            grid=(B, n_h, n_w),
-            in_specs=[
-                pl.BlockSpec((1, TH, WB, P), lambda b, i, j: (b, i, j, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 1, TH + 2 * R, WB + 2 * R, C),
-                             lambda b, i, j: (b, i, j, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, TH, WB, C),
-                                   lambda b, i, j: (b, i, j, 0),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((TH, WB, C), jnp.float32)],
-            interpret=interpret,
-        )(gpad, slabs)[:, :H, :W]
+
+        def run_dgrad1(g_in, slabs_in):
+            return pl.pallas_call(
+                functools.partial(_dgrad1_kernel, patch=patch, stride=stride,
+                                  TH=TH, WB=WB, R=R, inv_c=1.0 / C),
+                out_shape=jax.ShapeDtypeStruct(
+                    (g_in.shape[0], Hp, Wp, C), fmap1.dtype),
+                grid=(g_in.shape[0], n_h, n_w),
+                in_specs=[
+                    pl.BlockSpec((1, TH, WB, P),
+                                 lambda b, i, j: (b, i, j, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, 1, TH + 2 * R, WB + 2 * R, C),
+                                 lambda b, i, j: (b, i, j, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, TH, WB, C),
+                                       lambda b, i, j: (b, i, j, 0),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=[pltpu.VMEM((TH, WB, C), jnp.float32)],
+                interpret=interpret,
+            )(g_in, slabs_in)
+
+        df1 = _fold_vmap(run_dgrad1)(gpad, slabs)[:, :H, :W]
 
     if plan2 is not None:
         TH, WB = plan2
@@ -261,27 +267,54 @@ def _backward(fmap1, fmap2, g, patch, stride, interpret=False):
         gp = jnp.pad(g, ((0, 0), (R, R + Hp - H), (R, R + Wp - W), (0, 0)))
         gslabs = _gather_slabs(gp, n_h, n_w, TH, WB, R)
         fslabs = _gather_slabs(f1p, n_h, n_w, TH, WB, R)
-        df2 = pl.pallas_call(
-            functools.partial(_dgrad2_kernel, patch=patch, stride=stride,
-                              TH=TH, WB=WB, R=R, inv_c=1.0 / C),
-            out_shape=jax.ShapeDtypeStruct((B, Hp, Wp, C), fmap2.dtype),
-            grid=(B, n_h, n_w),
-            in_specs=[
-                pl.BlockSpec((1, 1, 1, TH + 2 * R, WB + 2 * R, P),
-                             lambda b, i, j: (b, i, j, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 1, TH + 2 * R, WB + 2 * R, C),
-                             lambda b, i, j: (b, i, j, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, TH, WB, C),
-                                   lambda b, i, j: (b, i, j, 0),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((TH, WB, C), jnp.float32)],
-            interpret=interpret,
-        )(gslabs, fslabs)[:, :H, :W]
+
+        def run_dgrad2(gslabs_in, fslabs_in):
+            return pl.pallas_call(
+                functools.partial(_dgrad2_kernel, patch=patch, stride=stride,
+                                  TH=TH, WB=WB, R=R, inv_c=1.0 / C),
+                out_shape=jax.ShapeDtypeStruct(
+                    (gslabs_in.shape[0], Hp, Wp, C), fmap2.dtype),
+                grid=(gslabs_in.shape[0], n_h, n_w),
+                in_specs=[
+                    pl.BlockSpec((1, 1, 1, TH + 2 * R, WB + 2 * R, P),
+                                 lambda b, i, j: (b, i, j, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, 1, TH + 2 * R, WB + 2 * R, C),
+                                 lambda b, i, j: (b, i, j, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, TH, WB, C),
+                                       lambda b, i, j: (b, i, j, 0),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=[pltpu.VMEM((TH, WB, C), jnp.float32)],
+                interpret=interpret,
+            )(gslabs_in, fslabs_in)
+
+        df2 = _fold_vmap(run_dgrad2)(gslabs, fslabs)[:, :H, :W]
 
     return df1, df2
+
+
+def _fold_vmap(fn):
+    """Make a pallas-calling `(x, y) -> out` function vmap-safe by folding
+    the mapped axis into the arrays' leading (batch) axis — the kernels'
+    grids already iterate over it — instead of letting JAX's generic
+    pallas batching rule run, which cannot block ANY/HBM-space operands
+    (`jax.vmap` of the streaming `_kernel_dma` raises at lowering time).
+    `fn` must read B from its operands' shapes. Composes with nesting:
+    a second vmap level folds again through the same rule."""
+    call = jax.custom_batching.custom_vmap(fn)
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = [a if bt else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+                for a, bt in zip(args, in_batched)]
+        lead = args[0].shape[:2]
+        flat = [a.reshape((lead[0] * lead[1],) + a.shape[2:]) for a in args]
+        out = call(*flat)
+        return out.reshape(lead + out.shape[1:]), True
+
+    return call
 
 
 def _pick_tile_h(H: int, target: int = 8) -> int:
@@ -311,33 +344,37 @@ def _forward(fmap1, fmap2, patch, stride, interpret=False):
     if use_resident:
         tile_h = _pick_tile_h(H)
         f2p = jnp.pad(fmap2, ((0, 0), (R, R), (R, R), (0, 0)))
-        return pl.pallas_call(
-            functools.partial(
-                _kernel, patch=patch, stride=stride, tile_h=tile_h,
-                inv_c=1.0 / C, c_chunks=1,
-            ),
-            out_shape=jax.ShapeDtypeStruct((B, H, W, patch * patch),
-                                           fmap1.dtype),
-            grid=(B, H // tile_h, 1),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, tile_h, W, C),
+
+        def run_resident(f1, f2pad):
+            return pl.pallas_call(
+                functools.partial(
+                    _kernel, patch=patch, stride=stride, tile_h=tile_h,
+                    inv_c=1.0 / C, c_chunks=1,
+                ),
+                out_shape=jax.ShapeDtypeStruct(
+                    (f1.shape[0], H, W, patch * patch), f1.dtype),
+                grid=(f1.shape[0], H // tile_h, 1),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, tile_h, W, C),
+                        lambda b, i, c: (b, i, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, H + 2 * R, W + 2 * R, C),
+                        lambda b, i, c: (b, 0, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, tile_h, W, patch * patch),
                     lambda b, i, c: (b, i, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec(
-                    (1, H + 2 * R, W + 2 * R, C),
-                    lambda b, i, c: (b, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, tile_h, W, patch * patch),
-                lambda b, i, c: (b, i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            interpret=interpret,
-        )(fmap1, f2p)
+                interpret=interpret,
+            )(f1, f2pad)
+
+        return _fold_vmap(run_resident)(fmap1, f2p)
 
     # streaming path: f2 stays in HBM, halo slabs DMA'd per tile; channels
     # chunked (lane-aligned) so the slab fits VMEM. Manual DMAs need
@@ -365,33 +402,36 @@ def _forward(fmap1, fmap2, patch, stride, interpret=False):
         c_chunks = _valid_c_chunks(C)[-1]
     Cc = C // c_chunks
 
-    out = pl.pallas_call(
-        functools.partial(
-            _kernel_dma, patch=patch, stride=stride, tile_h=tile_h,
-            inv_c=inv_c, R=R, Cc=Cc, c_chunks=c_chunks,
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, Hp, W, patch * patch),
-                                       fmap1.dtype),
-        grid=(B, Hp // tile_h, c_chunks),
-        in_specs=[
-            pl.BlockSpec(
-                (1, tile_h, W, Cc),
-                lambda b, i, c: (b, i, 0, c),
+    def run_streaming(f1, f2):
+        return pl.pallas_call(
+            functools.partial(
+                _kernel_dma, patch=patch, stride=stride, tile_h=tile_h,
+                inv_c=inv_c, R=R, Cc=Cc, c_chunks=c_chunks,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (f1.shape[0], Hp, W, patch * patch), f1.dtype),
+            grid=(f1.shape[0], Hp // tile_h, c_chunks),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, tile_h, W, Cc),
+                    lambda b, i, c: (b, i, 0, c),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, tile_h, W, patch * patch),
+                lambda b, i, c: (b, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, tile_h, W, patch * patch),
-            lambda b, i, c: (b, i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((tile_h + 2 * R, W2p, Cc), fmap1.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )(f1p, f2p)
+            scratch_shapes=[
+                pltpu.VMEM((tile_h + 2 * R, W2p, Cc), f1.dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(f1, f2)
+
+    out = _fold_vmap(run_streaming)(f1p, f2p)
     return out[:, :H]
 
 

@@ -292,6 +292,83 @@ def test_flownetc_pallas_branch_matches_xla(rng, monkeypatch):
                                atol=2e-4, rtol=1e-4)
 
 
+def test_local_corr_vmap_folds_batch(rng, monkeypatch):
+    """`jax.vmap` over the Pallas correlation folds into the kernels' batch
+    grid axis (custom_vmap rule) instead of JAX's generic pallas batching,
+    which cannot block the streaming path's HBM-space operand — regression
+    for `bench --batch 2` / DP-vmapped FlowNet2 raising at lowering time.
+    Covers the streaming forward (resident budget forced to 0) and the
+    Pallas dgrad backward under vmap."""
+    import pcfa_tpu.ops.pallas.local_corr as lc
+
+    orig = lc._forward
+    monkeypatch.setattr(
+        lc, "_forward",
+        lambda f1, f2, p, s, interpret=False: orig(f1, f2, p, s,
+                                                   interpret=True))
+    monkeypatch.setattr(lc, "_INTERPRET", True)
+
+    V, B, H, W, C = 2, 1, 16, 24, 8
+    f1 = jnp.asarray(rng.standard_normal((V, B, H, W, C)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((V, B, H, W, C)), jnp.float32)
+
+    # streaming forward under vmap
+    monkeypatch.setattr(lc, "_RESIDENT_BUDGET", 0)
+    out_v = jax.vmap(lambda a, b: lc._forward(a, b, 5, 1))(f1, f2)
+    ref = jnp.stack([lc._forward(f1[i], f2[i], 5, 1) for i in range(V)])
+    np.testing.assert_allclose(np.asarray(out_v), np.asarray(ref), atol=1e-5)
+
+    # Pallas dgrad backward under vmap (H·W ≥ 1024 so plans materialize)
+    monkeypatch.setattr(lc, "_RESIDENT_BUDGET", 9 * 2**20)
+    H, W = 32, 48
+    f1 = jnp.asarray(rng.standard_normal((V, B, H, W, C)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((V, B, H, W, C)), jnp.float32)
+
+    def loss(a, b):
+        return jnp.sum(lc.local_correlation_pallas(a, b, 9) ** 2)
+
+    g_v = jax.vmap(jax.grad(loss, argnums=(0, 1)))(f1, f2)
+    for k in range(2):
+        g_ref = jnp.stack([jax.grad(loss, argnums=(0, 1))(f1[i], f2[i])[k]
+                           for i in range(V)])
+        np.testing.assert_allclose(np.asarray(g_v[k]), np.asarray(g_ref),
+                                   atol=1e-4)
+
+
+def test_flownet_nhcw_chain_matches_unchained(rng, monkeypatch):
+    """FlowNetSD's conv0→conv1→conv1_1 NHCW chain (PCFA_FN2_CHAIN=1, the
+    default) is layout-only: forward and input-grad match the unchained
+    per-conv-transpose path bit-for-bit through the Pallas interpret
+    branch (the kernel sees identical NHCW operands either way)."""
+    import pcfa_tpu.models.flownet2 as fn2
+    import pcfa_tpu.ops.pallas.small_conv as m
+
+    orig = m._forward
+    monkeypatch.setattr(
+        m, "_forward",
+        lambda x, k, b, act, interpret=True, plan=None, stride=1: orig(
+            x, k, b, act, interpret=True, stride=stride),
+    )
+    monkeypatch.setattr(fn2, "_cl_pallas_default", lambda: True)
+    x = jnp.asarray(rng.random((1, 64, 64, 6)), jnp.float32)
+    model = fn2.FlowNetSD()
+
+    monkeypatch.setenv("PCFA_FN2_CHAIN", "0")
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    ref = model.apply({"params": params}, x)
+    gref = jax.grad(
+        lambda a: jnp.sum(model.apply({"params": params}, a) ** 2))(x)
+
+    monkeypatch.setenv("PCFA_FN2_CHAIN", "1")
+    out = model.apply({"params": params}, x)
+    g = jax.grad(
+        lambda a: jnp.sum(model.apply({"params": params}, a) ** 2))(x)
+
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gref),
+                               atol=1e-6, rtol=1e-6)
+
+
 def test_basic_encoder_stem_pallas_matches_xla(rng, monkeypatch):
     """RAFT/GMA BasicEncoder with the Pallas 7×7/2 stem == XLA branch."""
     import pcfa_tpu.models.layers as ly
