@@ -316,12 +316,21 @@ def _dimg_rows(idx: jnp.ndarray, upd: jnp.ndarray,
                nrows: int) -> jnp.ndarray:
     """Per-destination row sums for the warp image gradient.
 
-    `PCFA_WARP_DIMG` selects the formulation: 'sorted' (default on TPU —
-    the sorted splat above) or 'scatter' (XLA scatter-add; the serial
-    lowering is fine on CPU where the oracle tests run)."""
+    `PCFA_WARP_DIMG` selects the formulation: 'scatter' (default — XLA
+    scatter-add) or 'sorted' (the sorted splat above).
+
+    Default history: 'sorted' wins ISOLATED on v5e (one full-res warp
+    fwd+bwd 32.7 → 16.2 ms, scripts/profile_warp_dimg.py), and briefly
+    was the TPU default — but the FlowNet2 cascade closure (4 sorted
+    splats in one fwd+bwd program) blew up XLA-TPU compile: >30 min
+    without finishing vs ~6 min for the scatter program (v5e tunnel,
+    2026-08-21; the same round-2/3 lesson that isolated wins must be
+    end-to-end A/B'd — this one never got to run). Reverted to
+    'scatter' until the compile-time pathology is understood; opt in
+    per-run with PCFA_WARP_DIMG=sorted for single-warp workloads."""
     mode = os.environ.get("PCFA_WARP_DIMG")
     if mode is None:
-        mode = "sorted" if jax.default_backend() == "tpu" else "scatter"
+        mode = "scatter"
     if mode == "sorted":
         return _segment_rows_sorted(idx, upd, nrows)
     if mode != "scatter":
