@@ -316,26 +316,42 @@ def _dimg_rows(idx: jnp.ndarray, upd: jnp.ndarray,
                nrows: int) -> jnp.ndarray:
     """Per-destination row sums for the warp image gradient.
 
-    `PCFA_WARP_DIMG` selects the formulation: 'scatter' (default — XLA
-    scatter-add) or 'sorted' (the sorted splat above).
+    `PCFA_WARP_DIMG` selects the formulation:
+    * 'onehot' (default on TPU) — sorted blocked one-hot matmuls in ONE
+      Pallas kernel (`ops/pallas/segsum.py`): the splat runs on the MXU
+      and the kernel is opaque to XLA, so it dodges BOTH the scatter's
+      serial lowering and the sorted-splat's fusion-planner compile
+      blowup (round-4 failure: 4 sorted splats in the FlowNet2 closure
+      never finished compiling).
+    * 'onehot_scan' — the same plan as one tiny lax.scan, pure XLA.
+    * 'sorted' — sorts + cumsum + merge-based adjacent difference.
+    * 'scatter' (default off-TPU) — XLA scatter-add; conflict-serialized
+      on TPU (~55 ns/row — 27 ms at FlowNet2's 491k-row full-res warp)
+      but the fastest lowering on CPU.
 
-    Default history: 'sorted' wins ISOLATED on v5e (one full-res warp
-    fwd+bwd 32.7 → 16.2 ms, scripts/profile_warp_dimg.py), and briefly
-    was the TPU default — but the FlowNet2 cascade closure (4 sorted
-    splats in one fwd+bwd program) blew up XLA-TPU compile: >30 min
-    without finishing vs ~6 min for the scatter program (v5e tunnel,
-    2026-08-21; the same round-2/3 lesson that isolated wins must be
-    end-to-end A/B'd — this one never got to run). Reverted to
-    'scatter' until the compile-time pathology is understood; opt in
-    per-run with PCFA_WARP_DIMG=sorted for single-warp workloads."""
+    Default history: 'sorted' won isolated on v5e (round 4) but was
+    reverted for the compile blowup; 'onehot' replaced it in round 5
+    after the closure A/B (compile AND runtime measured, BASELINE.md
+    round-5 log)."""
     mode = os.environ.get("PCFA_WARP_DIMG")
     if mode is None:
-        mode = "scatter"
+        mode = ("onehot" if jax.default_backend() == "tpu" else "scatter")
+    if mode == "onehot":
+        from pcfa_tpu.ops.pallas import segsum
+
+        if jax.default_backend() == "tpu" or segsum._INTERPRET:
+            return segsum.segment_rows_pallas(idx, upd, nrows)
+        return segsum.segment_rows_scan(idx, upd, nrows)
+    if mode == "onehot_scan":
+        from pcfa_tpu.ops.pallas import segsum
+
+        return segsum.segment_rows_scan(idx, upd, nrows)
     if mode == "sorted":
         return _segment_rows_sorted(idx, upd, nrows)
     if mode != "scatter":
         raise ValueError(
-            f"PCFA_WARP_DIMG={mode!r}: expected 'sorted' or 'scatter'")
+            f"PCFA_WARP_DIMG={mode!r}: expected 'onehot', 'onehot_scan', "
+            "'sorted' or 'scatter'")
     return jnp.zeros((nrows, upd.shape[1]), upd.dtype).at[idx].add(
         upd, mode="promise_in_bounds")
 

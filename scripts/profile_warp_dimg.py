@@ -70,16 +70,16 @@ def main():
 
     if args.check:
         outs = {}
-        for mode in ("scatter", "sorted"):
+        for mode in args.modes.split(","):
             gf, gi = make_grad(mode)((f0, img0))
             outs[mode] = (np.asarray(gf, np.float32),
                           np.asarray(gi, np.float32))
-        for name, a, b in (
-                ("dflow", outs["scatter"][0], outs["sorted"][0]),
-                ("dimg", outs["scatter"][1], outs["sorted"][1])):
-            denom = np.abs(a).max() or 1.0
-            rel = np.abs(a - b).max() / denom
-            print(f"check {name}: max|Δ|/max|ref| = {rel:.3e}")
+        ref = outs.get("scatter") or next(iter(outs.values()))
+        for mode, (gf, gi) in outs.items():
+            for name, a, b in (("dflow", ref[0], gf), ("dimg", ref[1], gi)):
+                denom = np.abs(a).max() or 1.0
+                rel = np.abs(a - b).max() / denom
+                print(f"check {mode:12s} {name}: max|Δ|/max|ref| = {rel:.3e}")
 
     for mode in args.modes.split(","):
         wg = make_grad(mode)

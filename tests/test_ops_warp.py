@@ -240,6 +240,80 @@ def test_segment_rows_sorted_exact(rng):
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
 
+@pytest.mark.parametrize("case", ["uniform", "one_cell", "sparse_tail",
+                                  "tiny", "multi_chunk"])
+def test_segment_rows_onehot_exact(case, rng):
+    """The blocked one-hot matmul executors (Pallas interpreted + the
+    lax.scan twin) == scatter-add, including the ragged-plan edge cases:
+    every row in ONE cell (a single pair does all the work), a huge empty
+    block range past the data (dummy pairs must still zero those output
+    blocks), fewer rows than one chunk, and N ≫ BN (multi-chunk runs
+    crossing block boundaries)."""
+    import jax
+
+    from pcfa_tpu.ops.pallas import segsum
+
+    N, nrows = {
+        "uniform": (3000, 2500),
+        "one_cell": (2000, 5000),
+        "sparse_tail": (300, 9000),
+        "tiny": (17, 40),
+        "multi_chunk": (6000, 300),
+    }[case]
+    if case == "one_cell":
+        idx = np.full(N, 4321, np.int32)
+    elif case == "sparse_tail":
+        idx = rng.integers(0, 50, N).astype(np.int32)  # blocks 1.. empty
+    else:
+        idx = rng.integers(0, nrows, N).astype(np.int32)
+    upd = rng.standard_normal((N, 12)).astype(np.float32)
+    # fp64 truth: the blocked-matmul summation order differs from a
+    # sequential fp32 np.add.at, and at 2000-way collisions BOTH carry
+    # ~1e-4 fp32 summation noise (the matmul is the closer of the two)
+    want = np.zeros((nrows, 12))
+    np.add.at(want, idx, upd.astype(np.float64))
+    tol = dict(atol=2e-5, rtol=3e-6)
+
+    idx_j, upd_j = jnp.asarray(idx), jnp.asarray(upd)
+    got_scan = jax.jit(segsum.segment_rows_scan, static_argnums=2)(
+        idx_j, upd_j, nrows)
+    np.testing.assert_allclose(np.asarray(got_scan), want, **tol)
+    got_pl = segsum.segment_rows_pallas(idx_j, upd_j, nrows, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_pl), want, **tol)
+
+
+def test_onehot_dimg_matches_scatter_through_vjp(rng, monkeypatch):
+    """PCFA_WARP_DIMG=onehot / onehot_scan through the packed warp VJP ==
+    the scatter path on all three gradients (collision hotspot included)."""
+    import jax
+
+    from pcfa_tpu.ops.pallas import segsum
+
+    img = jnp.asarray(rng.standard_normal((2, 13, 17, 3)).astype(np.float32))
+    ix = jnp.asarray(rng.uniform(-6, 22, (2, 21, 23)).astype(np.float32))
+    iy = jnp.asarray(rng.uniform(-6, 18, (2, 21, 23)).astype(np.float32))
+    ix = ix.at[0, :8, :8].set(5.25)
+    iy = iy.at[0, :8, :8].set(7.75)
+    g = jnp.asarray(rng.standard_normal((2, 21, 23, 3)).astype(np.float32))
+
+    def grads(im, x, y):
+        return jax.grad(
+            lambda a, b, c: jnp.sum(
+                warp._bilinear_abs_packed(a, b, c, False) * g),
+            argnums=(0, 1, 2),
+        )(im, x, y)
+
+    monkeypatch.setenv("PCFA_WARP_DIMG", "scatter")
+    g_sc = grads(img, ix, iy)
+    monkeypatch.setattr(segsum, "_INTERPRET", True)  # 'onehot' → Pallas
+    for mode in ("onehot", "onehot_scan"):
+        monkeypatch.setenv("PCFA_WARP_DIMG", mode)
+        g_oh = grads(img, ix, iy)
+        for a, b in zip(g_sc, g_oh):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=2e-5)
+
+
 def test_grid_sample_grads_match_torch(rng):
     """grid_sample input/grid gradients vs torch (both padding modes)."""
     import jax
