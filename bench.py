@@ -64,6 +64,13 @@ PER_NET_CPU_BASELINE: dict[str, float | None] = {
     "RAFT-small": None,
 }
 
+#: torch-reference CPU baselines for the I-FGSM attack (steps=20:
+#: 20×(closure + metrics forward) + 1 init forward per pair). Measured
+#: with --measure-cpu --attack fgsm.
+FGSM_CPU_BASELINE: dict[str, float | None] = {
+    "RAFT": None,  # filled per-machine via --measure-cpu --attack fgsm
+}
+
 #: dense peak FLOPs/s per chip by `jax.Device.device_kind` (bf16 matmul
 #: peak — the bench's default compute dtype). Sources: public TPU spec
 #: sheets (v5e 197 TFLOPs bf16, v4 275, v5p 459, v6e 918).
@@ -284,11 +291,13 @@ def _torch_model_closure(net: str):
 
 
 def measure_cpu_baseline(net: str, H: int, W: int, steps: int,
-                         max_iter: int) -> float:
-    """Pairs/sec of the torch reference PCFA closure on this machine's CPU.
+                         max_iter: int, attack: str = "pcfa") -> float:
+    """Pairs/sec of the torch reference attack closure on this machine's CPU.
 
-    One closure = full forward + backward wrt both input frames
-    (`attack_PCFA.py:175-192`); a pair costs steps*(max_iter+1) closures."""
+    PCFA: one closure = full forward + backward wrt both input frames
+    (`attack_PCFA.py:175-192`); a pair costs steps*(max_iter+1) closures.
+    FGSM: a pair costs steps*(closure + metrics forward) + 1 init forward
+    (`attack_FGSM.py:199-241`)."""
     import torch
 
     if net == "SpyNet":
@@ -316,6 +325,16 @@ def measure_cpu_baseline(net: str, H: int, W: int, steps: int,
     closure_eval()
     per_eval = time.perf_counter() - t0
     print(f"# torch-CPU {net} closure: {per_eval:.1f}s", file=sys.stderr)
+    if attack == "fgsm":
+        import torch as _torch
+
+        with _torch.no_grad():
+            fwd(x1.detach(), x2.detach())  # warmup
+            t0 = time.perf_counter()
+            fwd(x1.detach(), x2.detach())
+            per_fwd = time.perf_counter() - t0
+        print(f"# torch-CPU {net} forward: {per_fwd:.1f}s", file=sys.stderr)
+        return 1.0 / (steps * (per_eval + per_fwd) + per_fwd)
     evals_per_pair = steps * (max_iter + 1)
     return 1.0 / (per_eval * evals_per_pair)
 
@@ -362,6 +381,12 @@ def main():
                     help="network under attack (default: the north-star "
                     "RAFT config; the CPU baseline constant applies to "
                     "RAFT only)")
+    ap.add_argument("--attack", default="pcfa", choices=["pcfa", "fgsm"],
+                    help="attack to benchmark: the north-star PCFA "
+                    "L-BFGS attack, or the reference's second attack, "
+                    "I-FGSM at its published config (steps=20, "
+                    "eps=2.5e-4, aee loss — attack_FGSM.py:59, "
+                    "parsing_file.py:62)")
     args = ap.parse_args()
 
     if SMOKE:
@@ -464,49 +489,7 @@ def main():
     x2 = jnp.asarray(rng.random((B, 1, H, W, 3)), jnp.float32)
     target = jnp.zeros((B, 1, H, W, 2), jnp.float32)
 
-    # host-driven outer steps: one L-BFGS segment per device call (bounded
-    # per-program runtime; identical math to the fully fused lax.scan);
-    # --batch vmaps B independent per-pair attacks on the chip
-    init_jit = jax.jit(jax.vmap(
-        lambda prm, a, b: pcfa_init(functools.partial(flow_fn_p, prm), a, b,
-                                    cfg),
-        in_axes=(None, 0, 0),
-    ))
     chunk = max(1, args.chunk)
-
-    def outer_chunk(prm, a, b, t, fpi, s):
-        fn = functools.partial(flow_fn_p, prm)
-
-        def body(s, _):
-            s, metrics, _ = pcfa_outer_step(fn, a, b, t, fpi, s, cfg)
-            return s, metrics
-
-        return jax.lax.scan(body, s, None, length=chunk)
-
-    step_jit = jax.jit(
-        jax.vmap(outer_chunk, in_axes=(None, 0, 0, 0, 0, 0)),
-        donate_argnums=(5,),  # PCFA state (L-BFGS history buffers)
-    )
-
-    def run_pair():
-        state, flow_pred_init = init_jit(params, x1, x2)
-        for _ in range(-(-steps // chunk)):
-            state, metrics = step_jit(params, x1, x2, target,
-                                      flow_pred_init, state)
-        # force completion with a value fetch: through tunneled backends
-        # `block_until_ready` does not actually wait (CLAUDE.md)
-        _ = float(metrics.loss[0, -1])
-        return metrics
-
-    # analytic FLOPs per attacked pair (MFU numerator): one init closure +
-    # steps outer L-BFGS segments, counted on the pre-optimization HLO.
-    # Pallas custom calls count 0 FLOPs under hlo_module_cost_analysis, so
-    # every Pallas migration would silently shrink the MFU basis (round-3
-    # lesson: NHCW layer1 dropped the analytic count 1.646e13 → 1.085e13).
-    # Count on a Pallas-FREE lowering of the SAME math instead: disable the
-    # Pallas env knobs and per-model `use_pallas` flags at trace time and
-    # lower separate jit objects (trace-only, nothing is compiled or run).
-    state0, fpi0 = jax.eval_shape(init_jit, params, x1, x2)
     import contextlib
 
     @contextlib.contextmanager
@@ -536,24 +519,108 @@ def main():
         out = out[-1] if isinstance(out, tuple) else out
         return out.astype(jnp.float32)
 
-    def outer_chunk_nopl(prm, a, b, t, fpi, s):
-        fn = functools.partial(flow_fn_nopl, prm)
+    # analytic FLOPs per attacked pair (MFU numerator), counted on a
+    # Pallas-FREE lowering of the SAME math (Pallas custom calls count 0
+    # FLOPs under hlo_module_cost_analysis — round-3 lesson: NHCW layer1
+    # silently dropped the analytic count 1.646e13 → 1.085e13). Trace-only;
+    # nothing is compiled or run.
+    if args.attack == "fgsm":
+        from pcfa_tpu.attack.fgsm import FGSMConfig, fgsm_step
 
-        def body(s, _):
-            s, metrics, _ = pcfa_outer_step(fn, a, b, t, fpi, s, cfg)
-            return s, metrics
+        fcfg = FGSMConfig(steps=steps, loss="aee")
+        init_jit = jax.jit(jax.vmap(flow_fn_p, in_axes=(None, 0, 0)))
 
-        return jax.lax.scan(body, s, None, length=chunk)
+        def fgsm_chunk(ffn, prm, a, b, t, fpi, carry):
+            fn = functools.partial(ffn, prm)
 
-    with _pallas_off():
-        init_flops = analytic_flops(jax.jit(jax.vmap(
-            lambda prm, a, b: pcfa_init(
-                functools.partial(flow_fn_nopl, prm), a, b, cfg),
+            def body(c, _):
+                c, (metrics, _flow) = fgsm_step(fn, a, b, t, fpi, c, fcfg)
+                return c, metrics
+
+            return jax.lax.scan(body, carry, None, length=chunk)
+
+        step_jit = jax.jit(
+            jax.vmap(functools.partial(fgsm_chunk, flow_fn_p),
+                     in_axes=(None, 0, 0, 0, 0, 0)),
+            donate_argnums=(5,),  # (nw1, nw2) carry
+        )
+
+        def run_pair():
+            fpi = init_jit(params, x1, x2)
+            # fresh buffers: the carry is donated, x1/x2 stay live args
+            carry = (jnp.copy(x1), jnp.copy(x2))
+            for _ in range(-(-steps // chunk)):
+                carry, metrics = step_jit(params, x1, x2, target, fpi,
+                                          carry)
+            # force completion with a value fetch: through tunneled
+            # backends `block_until_ready` does not actually wait
+            _ = float(metrics.loss[0, -1])
+            return metrics
+
+        fpi0 = jax.eval_shape(init_jit, params, x1, x2)
+        with _pallas_off():
+            init_flops = analytic_flops(
+                jax.jit(jax.vmap(flow_fn_nopl, in_axes=(None, 0, 0))),
+                params, x1, x2)
+            step_flops = analytic_flops(jax.jit(jax.vmap(
+                functools.partial(fgsm_chunk, flow_fn_nopl),
+                in_axes=(None, 0, 0, 0, 0, 0))),
+                params, x1, x2, target, fpi0, (x1, x2))
+    else:
+        # host-driven outer steps: one L-BFGS segment per device call
+        # (bounded per-program runtime; identical math to the fully fused
+        # lax.scan); --batch vmaps B independent per-pair attacks
+        init_jit = jax.jit(jax.vmap(
+            lambda prm, a, b: pcfa_init(functools.partial(flow_fn_p, prm),
+                                        a, b, cfg),
             in_axes=(None, 0, 0),
-        )), params, x1, x2)
-        step_flops = analytic_flops(
-            jax.jit(jax.vmap(outer_chunk_nopl, in_axes=(None, 0, 0, 0, 0, 0))),
-            params, x1, x2, target, fpi0, state0)
+        ))
+
+        def outer_chunk(prm, a, b, t, fpi, s):
+            fn = functools.partial(flow_fn_p, prm)
+
+            def body(s, _):
+                s, metrics, _ = pcfa_outer_step(fn, a, b, t, fpi, s, cfg)
+                return s, metrics
+
+            return jax.lax.scan(body, s, None, length=chunk)
+
+        step_jit = jax.jit(
+            jax.vmap(outer_chunk, in_axes=(None, 0, 0, 0, 0, 0)),
+            donate_argnums=(5,),  # PCFA state (L-BFGS history buffers)
+        )
+
+        def run_pair():
+            state, flow_pred_init = init_jit(params, x1, x2)
+            for _ in range(-(-steps // chunk)):
+                state, metrics = step_jit(params, x1, x2, target,
+                                          flow_pred_init, state)
+            # force completion with a value fetch: through tunneled
+            # backends `block_until_ready` does not actually wait
+            _ = float(metrics.loss[0, -1])
+            return metrics
+
+        state0, fpi0 = jax.eval_shape(init_jit, params, x1, x2)
+
+        def outer_chunk_nopl(prm, a, b, t, fpi, s):
+            fn = functools.partial(flow_fn_nopl, prm)
+
+            def body(s, _):
+                s, metrics, _ = pcfa_outer_step(fn, a, b, t, fpi, s, cfg)
+                return s, metrics
+
+            return jax.lax.scan(body, s, None, length=chunk)
+
+        with _pallas_off():
+            init_flops = analytic_flops(jax.jit(jax.vmap(
+                lambda prm, a, b: pcfa_init(
+                    functools.partial(flow_fn_nopl, prm), a, b, cfg),
+                in_axes=(None, 0, 0),
+            )), params, x1, x2)
+            step_flops = analytic_flops(
+                jax.jit(jax.vmap(outer_chunk_nopl,
+                                 in_axes=(None, 0, 0, 0, 0, 0))),
+                params, x1, x2, target, fpi0, state0)
     flops_per_pair = None
     if init_flops is not None and step_flops is not None:
         flops_per_pair = (init_flops + -(-steps // chunk) * step_flops) / B
@@ -573,14 +640,17 @@ def main():
     value = 1.0 / per_pair
 
     if args.measure_cpu:
-        baseline = measure_cpu_baseline(args.net, H, W, steps, max_iter)
-        print(f"# measured CPU baseline ({args.net}): {baseline:.3e} "
-              "pairs/s", file=sys.stderr)
+        baseline = measure_cpu_baseline(args.net, H, W, steps, max_iter,
+                                        args.attack)
+        print(f"# measured CPU baseline ({args.net}, {args.attack}): "
+              f"{baseline:.3e} pairs/s", file=sys.stderr)
     else:
-        baseline = PER_NET_CPU_BASELINE.get(args.net)
+        reg = (FGSM_CPU_BASELINE if args.attack == "fgsm"
+               else PER_NET_CPU_BASELINE)
+        baseline = reg.get(args.net)
         if baseline is None:
-            print(f"# no recorded torch-CPU baseline for {args.net}; "
-                  "vs_baseline uses the RAFT denominator "
+            print(f"# no recorded torch-CPU {args.attack} baseline for "
+                  f"{args.net}; vs_baseline uses the RAFT PCFA denominator "
                   "(re-measure with --measure-cpu)", file=sys.stderr)
             baseline = CPU_BASELINE_PAIRS_PER_SEC
 
@@ -595,7 +665,9 @@ def main():
         "metric": "attacked frame-pairs/sec/chip "
                   f"({args.net}"
                   + (f"-{model.iters}it" if hasattr(model, "iters") else "")
-                  + f" PCFA steps={steps} maxiter={max_iter}, {H}x{W}"
+                  + (f" FGSM steps={steps}" if args.attack == "fgsm" else
+                     f" PCFA steps={steps} maxiter={max_iter}")
+                  + f", {H}x{W}"
                   + (", fused-corr" if args.corr_impl == "fused" else "")
                   + ")" + (" [SMOKE]" if SMOKE else ""),
         "value": round(value, 6),

@@ -46,6 +46,50 @@ class FGSMResult(NamedTuple):
     metrics: FGSMMetrics
 
 
+def fgsm_step(
+    flow_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    image1: jnp.ndarray,
+    image2: jnp.ndarray,
+    target: jnp.ndarray,
+    flow_pred_init: jnp.ndarray,
+    carry: tuple[jnp.ndarray, jnp.ndarray],
+    config: FGSMConfig,
+):
+    """ONE I-FGSM step: `carry = (nw1, nw2)` → updated carry +
+    (metrics, flow_pred). `fgsm_attack` scans this; the bench drives it
+    from host (bounded per-dispatch programs through tunneled backends,
+    same pattern as `pcfa_outer_step`)."""
+    cfg = config
+
+    def loss_of(a, b):
+        return get_loss(cfg.loss, flow_fn(a, b), target)
+
+    grad_fn = jax.value_and_grad(loss_of, argnums=(0, 1))
+
+    nw1, nw2 = carry
+    loss, (g1, g2) = grad_fn(nw1, nw2)
+    if cfg.joint_perturbation:
+        g = 0.5 * (g1 + g2)
+        s1 = s2 = jnp.sign(g)
+    else:
+        s1, s2 = jnp.sign(g1), jnp.sign(g2)
+    nw1 = jnp.clip(nw1 - cfg.epsilon * s1, 0.0, 1.0)
+    nw2 = jnp.clip(nw2 - cfg.epsilon * s2, 0.0, 1.0)
+
+    d1 = nw1 - image1  # already clipped (`attack_FGSM.py:217-218`)
+    d2 = nw2 - image2
+    flow_pred = flow_fn(nw1, nw2)
+    metrics = FGSMMetrics(
+        loss=loss,
+        aee_adv_tgt=avg_epe(flow_pred, target),
+        aee_adv_pred=avg_epe(flow_pred, flow_pred_init),
+        l2_delta1=two_norm_avg(d1),
+        l2_delta2=two_norm_avg(d2),
+        l2_delta12=two_norm_avg_delta(d1, d2),
+    )
+    return (nw1, nw2), (metrics, flow_pred)
+
+
 def fgsm_attack(
     flow_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     image1: jnp.ndarray,
@@ -57,34 +101,9 @@ def fgsm_attack(
     cfg = config
     flow_pred_init = flow_fn(image1, image2)
 
-    def loss_of(a, b):
-        return get_loss(cfg.loss, flow_fn(a, b), target)
-
-    grad_fn = jax.value_and_grad(loss_of, argnums=(0, 1))
-
     def step(carry, _):
-        nw1, nw2 = carry
-        loss, (g1, g2) = grad_fn(nw1, nw2)
-        if cfg.joint_perturbation:
-            g = 0.5 * (g1 + g2)
-            s1 = s2 = jnp.sign(g)
-        else:
-            s1, s2 = jnp.sign(g1), jnp.sign(g2)
-        nw1 = jnp.clip(nw1 - cfg.epsilon * s1, 0.0, 1.0)
-        nw2 = jnp.clip(nw2 - cfg.epsilon * s2, 0.0, 1.0)
-
-        d1 = nw1 - image1  # already clipped (`attack_FGSM.py:217-218`)
-        d2 = nw2 - image2
-        flow_pred = flow_fn(nw1, nw2)
-        metrics = FGSMMetrics(
-            loss=loss,
-            aee_adv_tgt=avg_epe(flow_pred, target),
-            aee_adv_pred=avg_epe(flow_pred, flow_pred_init),
-            l2_delta1=two_norm_avg(d1),
-            l2_delta2=two_norm_avg(d2),
-            l2_delta12=two_norm_avg_delta(d1, d2),
-        )
-        return (nw1, nw2), (metrics, flow_pred)
+        return fgsm_step(flow_fn, image1, image2, target, flow_pred_init,
+                         carry, cfg)
 
     (nw1, nw2), (metrics, flows) = jax.lax.scan(
         step, (image1, image2), None, length=cfg.steps

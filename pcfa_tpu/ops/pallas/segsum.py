@@ -118,7 +118,7 @@ def _sort_pad(idx: jnp.ndarray, upd: jnp.ndarray, BN: int):
 def _kernel(jarr_ref, tarr_ref, keys_ref, rows_ref, out_ref, *, BM: int):
     p = pl.program_id(0)
     j = jarr_ref[p]
-    local = keys_ref[...] - j * BM  # (1, BN)
+    local = keys_ref[0] - j * BM  # (1, BN)
     valid = (local >= 0) & (local < BM)
     BN = local.shape[-1]
     iota = jax.lax.broadcasted_iota(jnp.int32, (BM, BN), 0)
@@ -157,7 +157,10 @@ def segment_rows_pallas(idx: jnp.ndarray, upd: jnp.ndarray, nrows: int,
         num_scalar_prefetch=2,
         grid=(P,),
         in_specs=[
-            pl.BlockSpec((1, BN), lambda p, jarr, tarr: (tarr[p], 0)),
+            # keys ride as (T+1, 1, BN): Mosaic requires the last two
+            # block dims be (8-, 128-divisible) OR equal to the array
+            # dims — (1, BN) against a (T+1, BN) array is neither
+            pl.BlockSpec((1, 1, BN), lambda p, jarr, tarr: (tarr[p], 0, 0)),
             pl.BlockSpec((1, BN, K), lambda p, jarr, tarr: (tarr[p], 0, 0)),
         ],
         out_specs=pl.BlockSpec((BM, K), lambda p, jarr, tarr: (jarr[p], 0)),
@@ -169,7 +172,7 @@ def segment_rows_pallas(idx: jnp.ndarray, upd: jnp.ndarray, nrows: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(jarr, tarr, skeys.reshape(T + 1, BN), srows.reshape(T + 1, BN, K))
+    )(jarr, tarr, skeys.reshape(T + 1, 1, BN), srows.reshape(T + 1, BN, K))
     return out[:nrows].astype(dtype)
 
 
