@@ -21,9 +21,16 @@ sorted rows — scatter becomes MXU work, the TPU-native answer:
    (chunk, block) pairs intersect — a STATIC bound, so the ragged
    chunk↔block incidence becomes a fixed-length pair list computed with a
    few tiny searchsorteds (`_plan_pairs`).
-3. Each pair contributes `onehot(local_cell)ᵀ @ rows` — a (BM, BN)·(BN, K)
-   matmul whose 0/1 lhs is generated on the fly — accumulated into the
-   pair's output block. Two interchangeable executors:
+3. Each pair contributes `onehot(local_cell)ᵀ @ rows` — a matmul whose 0/1
+   lhs is generated on the fly — accumulated into the pair's output block.
+   The matmul is LANE-PACKED: with K ≪ 128 a naive (BM, BN)·(BN, K) dot
+   wastes both the lane tile (K of 128) and the sublane extent (BM rows
+   for BN useful values) — measured 23.8 ms/warp-call, matmul-pass-bound.
+   Packing S = ⌊128/K⌋₂ cells into the lane axis (cell m → sublane m//S,
+   lane slot m%S) shrinks the one-hot to (BM/S, BN) and widens the rhs to
+   (BN, S·K) — S× fewer MXU passes and S× fewer one-hot compares for the
+   same math; the packed (J·BM/S, S·K) output reshapes back to
+   (J·BM, K) row-major for free. Two interchangeable executors:
    * `segment_rows_pallas` — a Pallas kernel, grid over pairs with the
      (jarr, tarr) pair list as scalar prefetch driving the block index
      maps; the one-hot lives only in VMEM and consecutive same-block pairs
@@ -53,7 +60,6 @@ from jax.experimental.pallas import tpu as pltpu
 #: tests set True to run the kernel interpreted on CPU
 _INTERPRET = False
 
-_BN = 512  # input chunk rows
 _SENTINEL = jnp.int32(2**30)  # > any real cell index; lands in no block
 
 
@@ -61,12 +67,18 @@ def _pow2_floor(v: int) -> int:
     return 1 << (max(int(v), 1).bit_length() - 1)
 
 
-def _block_sizes(K: int) -> tuple[int, int]:
-    """(BN, BM) sized so onehot (BN·BM·4 B) + double-buffered out block
-    (2·BM·Kpad·4 B) stay well under the 16 MB scoped-VMEM AOT limit."""
-    kpad = -(-K // 128) * 128
-    bm = min(2048, max(128, _pow2_floor((2 << 20) // (kpad * 4))))
-    return _BN, bm
+def _block_sizes(K: int) -> tuple[int, int, int]:
+    """(BN, BM, S): input chunk rows, output block cells, lane-packing
+    factor S = ⌊128/K⌋₂ (1 for wide rows). The out block keeps a fixed
+    R = BM/S = 256 sublane rows (2 tiles): total matmul passes ≈
+    2·nrows·BN/(S·128²) + N·R/128² and grid steps ≈ 2·nrows/(S·R) + N/BN
+    balance near BN=1024 at the FlowNet2 warp shapes (N ≈ nrows ≈ 491k,
+    K=12 → S=8). For wide rows (kpad > 256) BN drops to 512 to keep the
+    rhs + out blocks under the 16 MB scoped-VMEM AOT limit."""
+    s = _pow2_floor(128 // K) if K <= 64 else 1
+    kpad = -(-(s * K) // 128) * 128
+    bn = 512 if kpad > 256 else 1024
+    return bn, 256 * s, s
 
 
 def _plan_pairs(skeys_padded: jnp.ndarray, T: int, J: int, BN: int, BM: int):
@@ -115,16 +127,31 @@ def _sort_pad(idx: jnp.ndarray, upd: jnp.ndarray, BN: int):
     return skeys, srows, T
 
 
-def _kernel(jarr_ref, tarr_ref, keys_ref, rows_ref, out_ref, *, BM: int):
+def _kernel(jarr_ref, tarr_ref, keys_row_ref, keys_col_ref, rows_ref,
+            out_ref, *, BM: int, S: int):
     p = pl.program_id(0)
     j = jarr_ref[p]
-    local = keys_ref[0] - j * BM  # (1, BN)
-    valid = (local >= 0) & (local < BM)
-    BN = local.shape[-1]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (BM, BN), 0)
-    onehot = jnp.where((iota == local) & valid, 1.0, 0.0).astype(jnp.float32)
+    lrow = keys_row_ref[0] - j * BM  # (1, BN) — lane-oriented keys
+    valid = (lrow >= 0) & (lrow < BM)
+    BN = lrow.shape[-1]
+    # sublane index of cell m = m // S; −1 on invalid rows → no match
+    a = jnp.where(valid, jnp.clip(lrow, 0, BM - 1) // S, -1)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (BM // S, BN), 0)
+    onehot = jnp.where(iota_r == a, 1.0, 0.0).astype(jnp.float32)
+    rows = rows_ref[0]  # (BN, K)
+    if S == 1:
+        rows_exp = rows
+    else:
+        # lane slot m % S from the sublane-oriented copy of the keys
+        # (avoids an in-kernel (1,BN)→(BN,1) relayout); invalid rows'
+        # slot is arbitrary — their one-hot column is all-zero anyway
+        lcol = keys_col_ref[0] - j * BM  # (BN, 1)
+        slot = jnp.clip(lcol, 0, BM - 1) % S
+        rows_exp = jnp.concatenate(
+            [rows * (slot == s).astype(rows.dtype) for s in range(S)],
+            axis=1)  # (BN, S·K)
     blk = jax.lax.dot_general(
-        onehot, rows_ref[0],
+        onehot, rows_exp,
         dimension_numbers=(((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
@@ -143,12 +170,13 @@ def _kernel(jarr_ref, tarr_ref, keys_ref, rows_ref, out_ref, *, BM: int):
 def segment_rows_pallas(idx: jnp.ndarray, upd: jnp.ndarray, nrows: int,
                         interpret: bool | None = None) -> jnp.ndarray:
     """Σ of `upd` rows per destination cell: `zeros((nrows, K)).at[idx].add(upd)`
-    as sorted blocked one-hot matmuls in one Pallas kernel (see module doc)."""
+    as sorted lane-packed one-hot matmuls in one Pallas kernel (module doc)."""
     if interpret is None:
         interpret = _INTERPRET
     N, K = upd.shape
     dtype = upd.dtype
-    BN, BM = _block_sizes(K)
+    BN, BM, S = _block_sizes(K)
+    R = BM // S
     J = -(-nrows // BM)
     skeys, srows, T = _sort_pad(idx, upd.astype(jnp.float32), BN)
     jarr, tarr, P = _plan_pairs(skeys, T, J, BN, BM)
@@ -157,23 +185,29 @@ def segment_rows_pallas(idx: jnp.ndarray, upd: jnp.ndarray, nrows: int,
         num_scalar_prefetch=2,
         grid=(P,),
         in_specs=[
-            # keys ride as (T+1, 1, BN): Mosaic requires the last two
-            # block dims be (8-, 128-divisible) OR equal to the array
-            # dims — (1, BN) against a (T+1, BN) array is neither
+            # keys ride twice — (T+1, 1, BN) lane-oriented for the one-hot
+            # and (T+1, BN, 1) sublane-oriented for the slot select.
+            # Mosaic requires the last two block dims be (8-, 128-
+            # divisible) OR equal to the array dims, hence the unit axes.
             pl.BlockSpec((1, 1, BN), lambda p, jarr, tarr: (tarr[p], 0, 0)),
+            pl.BlockSpec((1, BN, 1), lambda p, jarr, tarr: (tarr[p], 0, 0)),
             pl.BlockSpec((1, BN, K), lambda p, jarr, tarr: (tarr[p], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((BM, K), lambda p, jarr, tarr: (jarr[p], 0)),
+        out_specs=pl.BlockSpec((R, S * K),
+                               lambda p, jarr, tarr: (jarr[p], 0)),
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, BM=BM),
+        functools.partial(_kernel, BM=BM, S=S),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((J * BM, K), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((J * R, S * K), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(jarr, tarr, skeys.reshape(T + 1, 1, BN), srows.reshape(T + 1, BN, K))
-    return out[:nrows].astype(dtype)
+    )(jarr, tarr, skeys.reshape(T + 1, 1, BN), skeys.reshape(T + 1, BN, 1),
+      srows.reshape(T + 1, BN, K))
+    # (J·R, S·K) → (J·BM, K) is a row-major bijection: cell a·S+s ↔
+    # (row a, lanes s·K..s·K+K)
+    return out.reshape(J * BM, K)[:nrows].astype(dtype)
 
 
 def segment_rows_scan(idx: jnp.ndarray, upd: jnp.ndarray,
@@ -182,11 +216,12 @@ def segment_rows_scan(idx: jnp.ndarray, upd: jnp.ndarray,
     dynamic-update-slice steps — pure XLA (~10 ops), no Mosaic."""
     N, K = upd.shape
     dtype = upd.dtype
-    BN, BM = _block_sizes(K)
+    BN, BM, S = _block_sizes(K)
+    R = BM // S
     J = -(-nrows // BM)
     skeys, srows, T = _sort_pad(idx, upd.astype(jnp.float32), BN)
     jarr, tarr, P = _plan_pairs(skeys, T, J, BN, BM)
-    iota_bm = jnp.arange(BM, dtype=jnp.int32)[:, None]
+    iota_r = jnp.arange(R, dtype=jnp.int32)[:, None]
 
     def step(buf, jt):
         jp, tp = jt
@@ -194,15 +229,24 @@ def segment_rows_scan(idx: jnp.ndarray, upd: jnp.ndarray,
         rows = jax.lax.dynamic_slice(srows, (tp * BN, 0), (BN, K))
         local = keys - jp * BM
         m = (local >= 0) & (local < BM)
-        onehot = jnp.where((iota_bm == local[None, :]) & m[None, :], 1.0, 0.0)
+        lc = jnp.clip(local, 0, BM - 1)
+        a = jnp.where(m, lc // S, -1)
+        onehot = jnp.where(iota_r == a[None, :], 1.0, 0.0)
+        if S == 1:
+            rows_exp = rows
+        else:
+            slot = (lc % S)[:, None]
+            rows_exp = jnp.concatenate(
+                [rows * (slot == s).astype(rows.dtype) for s in range(S)],
+                axis=1)
         blk = jax.lax.dot_general(
-            onehot, rows,
+            onehot, rows_exp,
             dimension_numbers=(((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
         )
-        cur = jax.lax.dynamic_slice(buf, (jp * BM, 0), (BM, K))
-        return jax.lax.dynamic_update_slice(buf, cur + blk, (jp * BM, 0)), None
+        cur = jax.lax.dynamic_slice(buf, (jp * R, 0), (R, S * K))
+        return jax.lax.dynamic_update_slice(buf, cur + blk, (jp * R, 0)), None
 
     buf, _ = jax.lax.scan(
-        step, jnp.zeros((J * BM, K), jnp.float32), (jarr, tarr))
-    return buf[:nrows].astype(dtype)
+        step, jnp.zeros((J * R, S * K), jnp.float32), (jarr, tarr))
+    return buf.reshape(J * BM, K)[:nrows].astype(dtype)
