@@ -68,7 +68,11 @@ PER_NET_CPU_BASELINE: dict[str, float | None] = {
 #: 20×(closure + metrics forward) + 1 init forward per pair). Measured
 #: with --measure-cpu --attack fgsm.
 FGSM_CPU_BASELINE: dict[str, float | None] = {
-    "RAFT": None,  # filled per-machine via --measure-cpu --attack fgsm
+    # components measured 2026-08-21 (this machine): closure 20.9 s (the
+    # round-1 canonical reading — a same-day re-read gave 28.1 s, the
+    # CONSERVATIVE smaller denominator is kept), forward 8.5 s
+    # → 1 / (20·(20.9+8.5) + 8.5) pairs/s
+    "RAFT": 1.675e-3,
 }
 
 #: dense peak FLOPs/s per chip by `jax.Device.device_kind` (bf16 matmul
@@ -585,9 +589,13 @@ def main():
 
             return jax.lax.scan(body, s, None, length=chunk)
 
+        # PCFA_BENCH_NO_DONATE=1: drop buffer donation (diagnostic — the
+        # axon client's execute panics on some donated programs,
+        # client.rs:2008 index==len; BASELINE.md round 5)
+        donate = () if os.environ.get("PCFA_BENCH_NO_DONATE") else (5,)
         step_jit = jax.jit(
             jax.vmap(outer_chunk, in_axes=(None, 0, 0, 0, 0, 0)),
-            donate_argnums=(5,),  # PCFA state (L-BFGS history buffers)
+            donate_argnums=donate,  # PCFA state (L-BFGS history buffers)
         )
 
         def run_pair():

@@ -330,12 +330,20 @@ def _dimg_rows(idx: jnp.ndarray, upd: jnp.ndarray,
       but the fastest lowering on CPU.
 
     Default history: 'sorted' won isolated on v5e (round 4) but was
-    reverted for the compile blowup; 'onehot' replaced it in round 5
-    after the closure A/B (compile AND runtime measured, BASELINE.md
-    round-5 log)."""
+    reverted for the compile blowup. 'onehot' (round 5) wins 2× isolated
+    on v5e (32.4 → 16.7 ms/warp fwd+bwd, parity 8e-8) and compiles the
+    FlowNet2 closure fine — but EXECUTING that closure through the axon
+    tunnel crashes its client (Rust panic, client.rs:2008 index==len on
+    the 246-arg step program; deterministic, scatter-leg executes clean;
+    the trigger needs the full network — six reduced probes at real
+    sizes all pass, BASELINE.md round-5 log). Default is therefore
+    'onehot' on real TPU backends and 'scatter' under the tunnel
+    (JAX_PLATFORMS=axon); PCFA_WARP_DIMG overrides both ways."""
     mode = os.environ.get("PCFA_WARP_DIMG")
     if mode is None:
-        mode = ("onehot" if jax.default_backend() == "tpu" else "scatter")
+        on_tpu = jax.default_backend() == "tpu"
+        tunneled = os.environ.get("JAX_PLATFORMS", "") == "axon"
+        mode = ("onehot" if on_tpu and not tunneled else "scatter")
     if mode == "onehot":
         from pcfa_tpu.ops.pallas import segsum
 
