@@ -112,6 +112,48 @@ class CL(nn.Module):
         return out.transpose(0, 1, 3, 2) if nhcw_out else out
 
 
+def _decode_pallas_default() -> bool:
+    """Pallas fast path for the decode-tail convs (PCFA_FN2_DECODE_PALLAS
+    opts out). Round-5 dissection: FlowNetFusion's ÷2/full-res decode
+    groups are 16.6 of its 23.2 ms — inter_conv/predict_flow convs with
+    C_out ∈ {2, 16, 32} run XLA NHWC at ≤2% lane utilization, exactly the
+    regime the shifted-slab NHCW kernel absorbs into the M dimension."""
+    return (os.environ.get("PCFA_FN2_DECODE_PALLAS", "1") == "1"
+            and jax.default_backend() == "tpu")
+
+
+class PlainConv(nn.Module):
+    """Param-tree twin of a bias'd stride-1 `nn.Conv` (names kernel/bias)
+    with an optional activation and a Pallas fast path for lane-starved
+    channel counts (C_out ≤ 32; the planner channel-pads c_in = 82/162)."""
+
+    features: int
+    kernel: int = 3
+    act: str | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        kern = self.param("kernel", nn.initializers.lecun_normal(),
+                          (self.kernel, self.kernel, c_in, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if (_decode_pallas_default() and self.features <= 32
+                and c_in <= 192):
+            from pcfa_tpu.ops.pallas.small_conv import small_conv2d
+
+            out = small_conv2d(
+                x.transpose(0, 1, 3, 2).astype(kern.dtype), kern, bias,
+                self.act, 1)
+            return out.transpose(0, 1, 3, 2)
+        p = (self.kernel - 1) // 2
+        out = jax.lax.conv_general_dilated(
+            x, kern.astype(x.dtype), window_strides=(1, 1),
+            padding=((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias.astype(x.dtype)
+        return _leaky(out) if self.act == "leaky" else out
+
+
 class IConv(nn.Module):
     """`submodules.i_conv`: conv without activation (Sequential of one)."""
 
@@ -119,8 +161,7 @@ class IConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
-                       name="0")(x)
+        return PlainConv(self.features, name="0")(x)
 
 
 class Deconv(nn.Module):
@@ -143,7 +184,7 @@ def upflow_deconv(features: int, use_bias: bool, name: str):
 
 
 def predict_flow(name: str):
-    return nn.Conv(2, (3, 3), padding=[(1, 1), (1, 1)], name=name)
+    return PlainConv(2, name=name)
 
 
 def upsample_nearest4(x: jnp.ndarray) -> jnp.ndarray:

@@ -64,9 +64,12 @@ def _plan(c_in: int, c_out: int, Ho: int, k: int,
             continue
         rows = stride * th + k - 1
         for g in (8, 16, 32):
-            if c_in > g and c_in % g:
-                continue
             gg = min(g, _round_up(c_in, 8))
+            # non-divisible groups are legal (the forward zero-pads the
+            # channel axis to c_pad) — they just waste c_pad/c_in of the
+            # K work, priced into eff below (FlowNetFusion's decode tail
+            # has c_in = 82/162)
+            c_pad = _round_up(c_in, gg)
             K = rows * gg
             M = th * c_out
             if K > 512:
@@ -75,6 +78,7 @@ def _plan(c_in: int, c_out: int, Ho: int, k: int,
                 (k / rows)
                 * (K / _round_up(K, 128))
                 * (min(M, 128) / 128)
+                * (c_in / c_pad)
             )
             # VMEM guard: slab + Ŵ + acc + out block (see _forward)
             grps = _round_up(c_in, gg) // gg

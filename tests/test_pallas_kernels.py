@@ -213,6 +213,8 @@ def test_small_conv_dx_strided_xla_mode(rng, monkeypatch):
     (1, 16, 64, 40, 128, 5, 2),  # FlowNetC conv2
     (2, 12, 12, 36, 64, 7, 2),   # FlowNetS conv1, batch>1
     (1, 12, 11, 36, 64, 3, 1),   # FlowNetFusion conv0
+    (1, 12, 82, 36, 16, 3, 1),   # Fusion inter_conv0: c_in ∤ G (pad path)
+    (1, 8, 162, 24, 32, 3, 1),   # Fusion inter_conv1: c_in ∤ G
 ])
 def test_small_conv_pallas_strided(rng, shape):
     from pcfa_tpu.ops.pallas.small_conv import _forward, conv_reference
@@ -289,6 +291,36 @@ def test_flownetc_pallas_branch_matches_xla(rng, monkeypatch):
     monkeypatch.setattr(fn2, "_cl_pallas_default", lambda: True)
     out = fn2.FlowNetC(use_pallas=False).apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_fusion_decode_pallas_matches_xla(rng, monkeypatch):
+    """FlowNetFusion with the decode-tail Pallas branch (PlainConv →
+    interpret kernel; c_in = 82/162 exercise the channel-pad planner) ==
+    the XLA branch, values AND input gradients."""
+    import pcfa_tpu.models.flownet2 as fn2
+    import pcfa_tpu.ops.pallas.small_conv as m
+
+    orig = m._forward
+    monkeypatch.setattr(
+        m, "_forward",
+        lambda x, k, b, act, interpret=True, plan=None, stride=1: orig(
+            x, k, b, act, interpret=True, stride=stride),
+    )
+    x = jnp.asarray(rng.random((1, 32, 48, 11)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((1, 32, 48, 2)), jnp.float32)
+    model = fn2.FlowNetFusion()
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+
+    def loss(x):
+        return jnp.sum(model.apply({"params": params}, x) * g)
+
+    monkeypatch.setattr(fn2, "_decode_pallas_default", lambda: False)
+    ref, dref = jax.value_and_grad(loss)(x)
+    monkeypatch.setattr(fn2, "_decode_pallas_default", lambda: True)
+    out, dout = jax.value_and_grad(loss)(x)
+    np.testing.assert_allclose(float(out), float(ref), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(dout), np.asarray(dref),
                                atol=2e-4, rtol=1e-4)
 
 
