@@ -164,6 +164,63 @@ class IConv(nn.Module):
         return PlainConv(self.features, name="0")(x)
 
 
+class _DeconvP(nn.Module):
+    """Param-tree twin of `nn.ConvTranspose((4,4), stride 2, SAME)` that
+    runs as ONE stride-1 3×3 NHCW Pallas conv + depth-to-space.
+
+    nn.ConvTranspose(SAME, k=4, s=2) satisfies (verified numerically,
+    round 5): out[o] = Σᵢ x[i]·wf[o−2i+1] with wf the spatially flipped
+    kernel. Splitting o by parity r, each parity reads exactly TWO taps
+    at input offsets ⊆ {−1, 0, +1}: r=0 → {−1: wf[3], 0: wf[1]},
+    r=1 → {0: wf[2], +1: wf[0]}. All four (ry, rx) parities therefore
+    embed into one CENTERED 3×3 kernel with C_out′ = 4·C_out, and the
+    output interleaves back to (2H, 2W, C_out). The XLA ConvTranspose
+    lowers with C_out ∈ {2..32} lanes (≤2% MXU utilization — deconv0
+    alone was 11.9 ms of FlowNetFusion's 22 ms, round-5 dissection);
+    the combined conv runs M = TH·4·C_out, K = rows·G full-ish tiles."""
+
+    features: int
+    use_bias: bool = True
+    act: str | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, c_in = x.shape
+        co = self.features
+        kern = self.param("kernel", nn.initializers.lecun_normal(),
+                          (4, 4, c_in, co))
+        bias = (self.param("bias", nn.initializers.zeros, (co,))
+                if self.use_bias else None)
+        if not _deconv_pallas_ok(c_in, co):
+            out = jax.lax.conv_transpose(
+                x, kern.astype(x.dtype), strides=(2, 2), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            if bias is not None:
+                out = out + bias.astype(out.dtype)
+            return _leaky(out) if self.act == "leaky" else out
+        from pcfa_tpu.ops.pallas.small_conv import small_conv2d
+
+        wf = kern[::-1, ::-1]
+        w3 = jnp.zeros((3, 3, c_in, 4 * co), kern.dtype)
+        maps = ({0: 3, 1: 1}, {1: 2, 2: 0})  # offset+1 → wf tap, per parity
+        for ry in (0, 1):
+            for rx in (0, 1):
+                s = (ry * 2 + rx) * co
+                for a, ty in maps[ry].items():
+                    for b_, tx in maps[rx].items():
+                        w3 = w3.at[a, b_, :, s:s + co].set(wf[ty, tx])
+        b4 = jnp.tile(bias, 4) if bias is not None else jnp.zeros(
+            (4 * co,), kern.dtype)
+        out = small_conv2d(x.transpose(0, 1, 3, 2).astype(kern.dtype),
+                           w3, b4, self.act, 1)  # (B, H, 4co, W) NHCW
+        out = out.transpose(0, 1, 3, 2).reshape(B, H, W, 2, 2, co)
+        return out.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, co)
+
+
+def _deconv_pallas_ok(c_in: int, features: int) -> bool:
+    return _decode_pallas_default() and features <= 32 and c_in <= 192
+
+
 class Deconv(nn.Module):
     """`submodules.deconv`: ConvTranspose2d(4,2,1) + LeakyReLU(0.1)."""
 
@@ -171,16 +228,12 @@ class Deconv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return _leaky(
-            nn.ConvTranspose(self.features, (4, 4), strides=(2, 2),
-                             padding="SAME", name="0")(x)
-        )
+        return _DeconvP(self.features, act="leaky", name="0")(x)
 
 
 def upflow_deconv(features: int, use_bias: bool, name: str):
     """Bare `ConvTranspose2d(2, 2, 4, 2, 1)` flow upsampler."""
-    return nn.ConvTranspose(features, (4, 4), strides=(2, 2), padding="SAME",
-                            use_bias=use_bias, name=name)
+    return _DeconvP(features, use_bias=use_bias, name=name)
 
 
 def predict_flow(name: str):

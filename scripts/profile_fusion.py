@@ -86,8 +86,12 @@ def main():
                 return flow1
             flow1_up = fn2.upflow_deconv(2, True, "upsampled_flow1_to_0")(flow1)
             out_deconv0 = fn2.Deconv(16, name="deconv0")(concat1)
+            if self.upto == "deconv0":
+                return out_deconv0 + flow1_up.sum()
             concat0 = jnp.concatenate([out_conv0, out_deconv0, flow1_up], -1)
             inter0 = fn2.IConv(16, name="inter_conv0")(concat0)
+            if self.upto == "inter0":
+                return inter0
             return fn2.predict_flow("predict_flow0")(inter0)
 
     x0 = jnp.asarray(rng.random((B, H, W, 11)), jnp.float32)
