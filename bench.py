@@ -498,7 +498,8 @@ def main():
 
     @contextlib.contextmanager
     def _pallas_off():
-        knobs = {"PCFA_PALLAS_STEM": "0", "PCFA_PALLAS_ENCODER": "0"}
+        knobs = {"PCFA_PALLAS_STEM": "0", "PCFA_PALLAS_ENCODER": "0",
+                 "PCFA_FN2_DECODE_PALLAS": "0"}
         saved = {k: os.environ.get(k) for k in knobs}
         os.environ.update(knobs)
         try:
