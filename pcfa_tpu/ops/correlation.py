@@ -72,17 +72,20 @@ def resolve_corr_impl(
     The reference leaves this choice to a build flag (`alt_cuda_corr`
     installed or not, `raft/corr.py:63-91`); here it is a static per-shape
     policy: materialize the pyramid when its forward+cotangent footprint
-    fits an HBM budget (default 4 GiB, `PCFA_CORR_HBM_BUDGET_MB`), else run
+    fits an HBM budget (default 6 GiB, `PCFA_CORR_HBM_BUDGET_MB`), else run
     the blockwise volume-free lookup. Shapes are static under jit, so the
     decision costs nothing at runtime. At KITTI size (bf16, batch 2) the
     estimate is ~0.6 GB → materialized (the faster path, BASELINE.md);
-    at 2× KITTI (752×2496) it is ~9 GB → fused (the only path that fits
-    v5e HBM)."""
+    at 2× KITTI (752×2496) batch=1 it is ~4.6 GB → still materialized
+    (measured round 5: materialized 0.007095 pairs/s fits v5e HBM under
+    remat and beats hybrid 0.006606 and fused 0.006202 — the 4 GiB
+    round-2 budget mispredicted this shape); at 2× KITTI batch=2 (~9 GB)
+    → fused, the only path that fits."""
     if impl != "auto":
         return impl
     import os
 
-    budget = int(os.environ.get("PCFA_CORR_HBM_BUDGET_MB", "4096")) << 20
+    budget = int(os.environ.get("PCFA_CORR_HBM_BUDGET_MB", "6144")) << 20
     B, H1, W1, _ = fmap1_shape
     _, H2, W2, _ = fmap2_shape
     pyr_elems = 0
