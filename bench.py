@@ -594,16 +594,30 @@ def main():
         # axon client's execute panics on some donated programs,
         # client.rs:2008 index==len; BASELINE.md round 5)
         donate = () if os.environ.get("PCFA_BENCH_NO_DONATE") else (5,)
-        step_jit = jax.jit(
-            jax.vmap(outer_chunk, in_axes=(None, 0, 0, 0, 0, 0)),
-            donate_argnums=donate,  # PCFA state (L-BFGS history buffers)
-        )
+        vm_step = jax.vmap(outer_chunk, in_axes=(None, 0, 0, 0, 0, 0))
+        # PCFA_BENCH_ARG_PAD=N (diagnostic): append N live scalar dummy
+        # args to the step program. The axon execute-panic indexes PAST
+        # the program's arg table (109 into 86 for SpyNet) — this probes
+        # whether growing the table past the bad index sidesteps the OOB.
+        npad = int(os.environ.get("PCFA_BENCH_ARG_PAD", "0") or 0)
+        if npad:
+            def vm_padded(prm, a, b, t, fpi, s, *pads):
+                # the summed pads become an extra output so XLA cannot
+                # prune the padding parameters from the executable
+                return vm_step(prm, a, b, t, fpi, s), sum(pads)
+
+            step_jit = jax.jit(vm_padded, donate_argnums=donate)
+            pad_args = tuple(jnp.float32(1 + i) for i in range(npad))
+        else:
+            step_jit = jax.jit(vm_step, donate_argnums=donate)
+            pad_args = ()
 
         def run_pair():
             state, flow_pred_init = init_jit(params, x1, x2)
             for _ in range(-(-steps // chunk)):
-                state, metrics = step_jit(params, x1, x2, target,
-                                          flow_pred_init, state)
+                out = step_jit(params, x1, x2, target,
+                               flow_pred_init, state, *pad_args)
+                (state, metrics) = out[0] if npad else out
             # force completion with a value fetch: through tunneled
             # backends `block_until_ready` does not actually wait
             _ = float(metrics.loss[0, -1])
